@@ -1,0 +1,323 @@
+"""Generic banded forward-backward engine (lax.scan over anti-diagonals).
+
+Replaces the reference's forward-sweep-with-checkpointed-traceback
+(getPosteriorProbsWithBanding, pairwiseAligner.c:870-1006) with a full banded
+FB per (split) matrix: posterior output depends only on f*b/total per cell, so
+per-split full FB reproduces the reference's results without the checkpoint
+dance (SURVEY §3.5).  The reference's "non-banded" path is the same engine with
+an anchorless band (getAlignedPairsWithoutBanding builds a Band from an empty
+anchor list, pairwiseAligner.c:1532, which degenerates to full-width diagonals).
+
+Layout: a diagonal d holds cells k = 0..width[d)-1 at xmy = xmyL[d] + 2k; all
+diagonals are padded to the static band width W.  Emissions for every band cell
+are precomputed into an (D+1, W, C) tensor (bulk gathers + pdf evals — VPU
+work); the scans then only do the O(E) logaddexp recursion per cell.
+
+Neighbor index algebra: for a cell (d, k) at xmy,
+  lower  (x-1, y)   = diag d-1 at xmy-1 -> k + (xmyL[d]-1-xmyL[d-1])/2
+  middle (x-1, y-1) = diag d-2 at xmy   -> k + (xmyL[d]-xmyL[d-2])/2
+  upper  (x, y-1)   = diag d-1 at xmy+1 -> lower shift + 1
+(differences are even because xmyL parity alternates with d).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import LOG_ZERO
+from ..core.band import Band
+from ..models.state_machines import (SRC_LOWER, SRC_MIDDLE, SRC_UPPER, SMSpec,
+                                     StateMachine)
+from ..ops.logmath import get_logadd
+
+NEG_INF = LOG_ZERO
+
+
+@dataclass(frozen=True)
+class EdgePlan:
+    """Static per-edge compute plan: transition log-prob = sum of scalar table
+    entries (indices into tp_scalar) + per-cell table entries (slices of TP)."""
+
+    src: int
+    frm: int
+    to: int
+    eclass: int
+    scalar_ids: tuple[int, ...]
+    cell_ids: tuple[int, ...]
+
+
+@dataclass(frozen=True)
+class EnginePlan:
+    """Hashable static plan -> shapes the jitted computation."""
+
+    name: str
+    n_states: int
+    match_state: int
+    edges: tuple[EdgePlan, ...]
+    logadd: str = "exact"
+
+
+def _build_plan(sm: StateMachine, logadd: str) -> tuple[EnginePlan, np.ndarray, list[np.ndarray]]:
+    """Split the state machine's transition values into a scalar vector and a
+    list of per-cell source arrays (per-x or per-y, resolved later)."""
+    scalar_keys: list[str] = []
+    cell_keys: list[str] = []
+    for e in sm.spec.edges:
+        for k in e.tkeys:
+            tv = sm.tvals[k]
+            if tv.kind == "s" and k not in scalar_keys:
+                scalar_keys.append(k)
+            elif tv.kind != "s" and k not in cell_keys:
+                cell_keys.append(k)
+    edges = tuple(
+        EdgePlan(
+            e.src, e.frm, e.to, e.eclass,
+            tuple(scalar_keys.index(k) for k in e.tkeys if sm.tvals[k].kind == "s"),
+            tuple(cell_keys.index(k) for k in e.tkeys if sm.tvals[k].kind != "s"),
+        )
+        for e in sm.spec.edges
+    )
+    plan = EnginePlan(sm.spec.name, sm.spec.n_states, sm.spec.match_state, edges, logadd)
+    tp_scalar = np.array([sm.tvals[k].val for k in scalar_keys], dtype=np.float64)
+    cell_sources = [(sm.tvals[k].kind, sm.tvals[k].val) for k in cell_keys]
+    return plan, tp_scalar, cell_sources
+
+
+class EngineInputs(NamedTuple):
+    """Device-ready arrays for one banded alignment problem (a jax pytree)."""
+
+    E: jnp.ndarray        # (D+1, W, C) emissions; row D zero padding
+    TP: jnp.ndarray       # (D+1, W, T) per-cell transition terms (T may be 0)
+    tp_scalar: jnp.ndarray  # (n_scalar,)
+    valid: jnp.ndarray    # (D, W) bool
+    dL: jnp.ndarray       # (D,) forward lower-neighbor shift
+    dM: jnp.ndarray       # (D,) forward middle-neighbor shift
+    uS: jnp.ndarray       # (D,) backward diag+1 shift
+    mS: jnp.ndarray       # (D,) backward diag+2 shift
+    x: jnp.ndarray        # (D, W) matrix x coordinate (0..lX)
+    y: jnp.ndarray        # (D, W) matrix y coordinate
+    start: jnp.ndarray    # (S,)
+    end: jnp.ndarray      # (S,)
+
+
+def prepare_inputs(sm: StateMachine, band: Band, *, ragged_left: bool, ragged_right: bool,
+                   dtype=jnp.float64, pad_width: int | None = None
+                   ) -> tuple[EnginePlan, EngineInputs]:
+    """Host-side preparation: band geometry grids, bulk emissions, transitions."""
+    D = band.n_diagonals
+    W = int(band.max_width) if pad_width is None else pad_width
+    assert W >= band.max_width
+    Dp = D
+
+    xmyL = band.xmyL.astype(np.int64)
+    widths = band.widths.astype(np.int64)
+
+    d_grid = np.arange(D)[:, None]
+    k_grid = np.arange(W)[None, :]
+    xmy = xmyL[:, None] + 2 * k_grid
+    x = (d_grid + xmy) // 2
+    y = (d_grid - xmy) // 2
+    valid = k_grid < widths[:, None]
+
+    lX, lY = band.lX, band.lY
+    x_idx = np.clip(x - 1, -1, max(lX - 1, -1))
+    y_idx = np.clip(y - 1, -1, max(lY - 1, -1))
+
+    E = np.full((Dp + 1, W, sm.spec.n_eclasses), 0.0, dtype=np.float64)
+    E[:D] = sm.emissions(x_idx, y_idx)
+    E[:D][~valid] = 0.0  # keep padding finite; masking handles correctness
+
+    plan, tp_scalar, cell_sources = _build_plan(sm, "exact")
+    T = len(cell_sources)
+    TP = np.zeros((Dp + 1, W, T), dtype=np.float64)
+    for t, (kind, arr) in enumerate(cell_sources):
+        if kind == "x":
+            TP[:D, :, t] = arr[x_idx + 1]
+        else:
+            TP[:D, :, t] = arr[y_idx + 1]
+
+    dL = np.zeros(Dp, dtype=np.int32)
+    dM = np.zeros(Dp, dtype=np.int32)
+    uS = np.zeros(Dp, dtype=np.int32)
+    mS = np.zeros(Dp, dtype=np.int32)
+    dL[1:D] = (xmyL[1:] - 1 - xmyL[:-1]) // 2
+    dM[2:D] = (xmyL[2:] - xmyL[:-2]) // 2
+    uS[: D - 1] = (xmyL[:-1] + 1 - xmyL[1:]) // 2
+    mS[: D - 2] = (xmyL[:-2] - xmyL[2:]) // 2
+
+    valid_p = np.zeros((Dp, W), dtype=bool)
+    valid_p[:D] = valid
+    x_p = np.zeros((Dp, W), dtype=np.int32)
+    y_p = np.zeros((Dp, W), dtype=np.int32)
+    x_p[:D] = x
+    y_p[:D] = y
+
+    start = sm.ragged_start if ragged_left else sm.start
+    end = sm.ragged_end if ragged_right else sm.end
+
+    inputs = EngineInputs(
+        E=jnp.asarray(E, dtype=dtype),
+        TP=jnp.asarray(TP, dtype=dtype),
+        tp_scalar=jnp.asarray(tp_scalar, dtype=dtype),
+        valid=jnp.asarray(valid_p),
+        dL=jnp.asarray(dL), dM=jnp.asarray(dM), uS=jnp.asarray(uS), mS=jnp.asarray(mS),
+        x=jnp.asarray(x_p), y=jnp.asarray(y_p),
+        start=jnp.asarray(start, dtype=dtype),
+        end=jnp.asarray(end, dtype=dtype),
+    )
+    return plan, inputs
+
+
+def _edge_tp(plan_edge: EdgePlan, tp_scalar, TP_row):
+    tp = None
+    for i in plan_edge.scalar_ids:
+        tp = tp_scalar[i] if tp is None else tp + tp_scalar[i]
+    for i in plan_edge.cell_ids:
+        col = TP_row[:, i]
+        tp = col if tp is None else tp + col
+    return 0.0 if tp is None else tp
+
+
+def _take_states(diag, idx):
+    """Gather rows of a (W, S) diagonal at indices idx (W,); out-of-range
+    indices (including negative — jnp's fill mode wraps those) give NEG_INF."""
+    W = diag.shape[0]
+    ok = (idx >= 0) & (idx < W)
+    safe = jnp.clip(idx, 0, W - 1)
+    return jnp.where(ok[:, None], jnp.take(diag, safe, axis=0), NEG_INF)
+
+
+def _take_1d(vec, idx, fill):
+    """Gather a (W,) vector at idx with explicit out-of-range fill."""
+    W = vec.shape[0]
+    ok = (idx >= 0) & (idx < W)
+    safe = jnp.clip(idx, 0, W - 1)
+    return jnp.where(ok, jnp.take(vec, safe), fill)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def forward(plan: EnginePlan, inp: EngineInputs) -> jnp.ndarray:
+    """Banded forward pass -> F (D, W, S) log-probabilities."""
+    D, W = inp.valid.shape
+    S = plan.n_states
+    ladd = get_logadd(plan.logadd)
+    k = jnp.arange(W)
+
+    f0 = jnp.where(inp.valid[0][:, None], inp.start[None, :], NEG_INF)
+    f_init = (f0, jnp.full((W, S), NEG_INF, inp.E.dtype))
+
+    def body(carry, xs):
+        f1, f2 = carry
+        E_d, TP_d, valid_d, dL_d, dM_d = xs
+        prevL = _take_states(f1, k + dL_d)
+        prevU = _take_states(f1, k + dL_d + 1)
+        prevM = _take_states(f2, k + dM_d)
+        srcs = (prevL, prevM, prevU)
+        cur = jnp.full((W, S), NEG_INF, f1.dtype)
+        for e in plan.edges:
+            val = srcs[e.src][:, e.frm] + E_d[:, e.eclass] + _edge_tp(e, inp.tp_scalar, TP_d)
+            cur = cur.at[:, e.to].set(ladd(cur[:, e.to], val))
+        cur = jnp.where(valid_d[:, None], cur, NEG_INF)
+        return (cur, f1), cur
+
+    xs = (inp.E[1:D], inp.TP[1:D], inp.valid[1:], inp.dL[1:], inp.dM[1:])
+    _, F_rest = jax.lax.scan(body, f_init, xs)
+    return jnp.concatenate([f0[None], F_rest], axis=0)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def backward(plan: EnginePlan, inp: EngineInputs) -> jnp.ndarray:
+    """Banded backward pass -> B (D, W, S)."""
+    D, W = inp.valid.shape
+    S = plan.n_states
+    ladd = get_logadd(plan.logadd)
+    k = jnp.arange(W)
+
+    b_last = jnp.where(inp.valid[D - 1][:, None], inp.end[None, :], NEG_INF)
+    init = (b_last, jnp.full((W, S), NEG_INF, inp.E.dtype))
+
+    def body(carry, xs):
+        b1, b2 = carry  # b_{d+1}, b_{d+2}
+        E1, TP1, E2, TP2, valid_d, uS_d, mS_d = xs
+        kL = k + uS_d        # to-cell of LOWER edges in diag d+1
+        kU = k + uS_d - 1    # to-cell of UPPER edges in diag d+1
+        kM = k + mS_d        # to-cell of MIDDLE edges in diag d+2
+        cur = jnp.full((W, S), NEG_INF, b1.dtype)
+        for e in plan.edges:
+            if e.src == SRC_LOWER:
+                kN, bN, EN, TPN = kL, b1, E1, TP1
+            elif e.src == SRC_UPPER:
+                kN, bN, EN, TPN = kU, b1, E1, TP1
+            else:
+                kN, bN, EN, TPN = kM, b2, E2, TP2
+            b_to = _take_1d(bN[:, e.to], kN, NEG_INF)
+            e_to = _take_1d(EN[:, e.eclass], kN, 0.0)
+            tp = _edge_tp(e, inp.tp_scalar, TPN)
+            if isinstance(tp, jnp.ndarray) and tp.ndim == 1:
+                tp = _take_1d(tp, kN, 0.0)
+            val = b_to + e_to + tp
+            cur = cur.at[:, e.frm].set(ladd(cur[:, e.frm], val))
+        cur = jnp.where(valid_d[:, None], cur, NEG_INF)
+        return (cur, b1), cur
+
+    xs = (inp.E[1:D][::-1], inp.TP[1:D][::-1], inp.E[2:D + 1][::-1], inp.TP[2:D + 1][::-1],
+          inp.valid[:-1][::-1], inp.uS[:D - 1][::-1], inp.mS[:D - 1][::-1])
+    _, B_rest = jax.lax.scan(body, init, xs)
+    return jnp.concatenate([B_rest[::-1], b_last[None]], axis=0)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def diagonal_totals(plan: EnginePlan, inp: EngineInputs, F, B) -> jnp.ndarray:
+    """Per-diagonal total probability incl. the match-through-diagonal
+    correction (diagonalCalculationTotalProbability, pairwiseAligner.c:736-754)."""
+    D, W = inp.valid.shape
+    mask3 = jnp.where(inp.valid[:, :, None], 0.0, NEG_INF)
+    t1 = jax.nn.logsumexp((F + B + mask3).reshape(D, -1), axis=1)
+
+    # Match-through term at diagonal d: forward-extend F[d-1] by MIDDLE edges
+    # onto diag d+1's grid, then dot with B[d+1].
+    k = jnp.arange(W)
+    # shift from diag d+1 cells to diag d-1 cells: (xmyL[d+1] - xmyL[d-1]) // 2
+    # = dM evaluated at d+1.
+    def md_contrib(d):
+        TP1 = inp.TP[d + 1]
+        E1 = inp.E[d + 1]
+        prevM = _take_states(F[d - 1], k + inp.dM[d + 1])
+        c = jnp.full((W, plan.n_states), NEG_INF, F.dtype)
+        for e in plan.edges:
+            if e.src != SRC_MIDDLE:
+                continue
+            val = prevM[:, e.frm] + E1[:, e.eclass] + _edge_tp(e, inp.tp_scalar, TP1)
+            c = c.at[:, e.to].set(jnp.logaddexp(c[:, e.to], val))
+        c = jnp.where(inp.valid[d + 1][:, None], c, NEG_INF)
+        return jax.nn.logsumexp(c + B[d + 1] + jnp.where(inp.valid[d + 1][:, None], 0.0, NEG_INF))
+
+    ds = jnp.arange(1, D - 1)
+    t2 = jax.vmap(md_contrib)(ds) if D > 2 else jnp.zeros((0,), F.dtype)
+    totals = t1
+    if D > 2:
+        totals = totals.at[1:D - 1].set(jnp.logaddexp(t1[1:D - 1], t2))
+    return totals
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def posterior_match_probs(plan: EnginePlan, inp: EngineInputs, F, B,
+                          total_mode: str = "per_diagonal"):
+    """Posterior match probabilities per band cell -> (D, W) probabilities,
+    zero where invalid or x==0 or y==0 (diagonalCalculationPosteriorMatchProbs,
+    pairwiseAligner.c:756-795)."""
+    totals = diagonal_totals(plan, inp, F, B)
+    if total_mode == "final":
+        totals = jnp.full_like(totals, totals[-1])
+    m = plan.match_state
+    logp = F[:, :, m] + B[:, :, m] - totals[:, None]
+    p = jnp.exp(logp)
+    ok = inp.valid & (inp.x > 0) & (inp.y > 0)
+    p = jnp.where(ok, jnp.minimum(p, 1.0), 0.0)
+    return p, totals
