@@ -69,6 +69,15 @@ def cigar_to_anchor_pairs(start1: int, start2: int, ops: list[tuple[str, int]],
     return np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
 
 
+def remap_anchor_pairs(pairs: np.ndarray, event_map: np.ndarray) -> np.ndarray:
+    """Map reference-side y coordinates through the 2D-read event map
+    (nanopore_remapAnchorPairs, nanopore.c:202-212)."""
+    pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
+    out = pairs.copy()
+    out[:, 1] = event_map[pairs[:, 1]]
+    return out
+
+
 def remap_anchor_pairs_with_offset(pairs: np.ndarray, event_map: np.ndarray,
                                    map_offset: int) -> np.ndarray:
     """Map reference-side y coordinates through the 2D-read event map, rebased

@@ -104,6 +104,8 @@ class EngineInputs(NamedTuple):
     y: jnp.ndarray        # (D, W) matrix y coordinate
     start: jnp.ndarray    # (S,)
     end: jnp.ndarray      # (S,)
+    aux: dict             # optional per-cell int grids: "rank", "bin", "sx", "sy",
+                          # "mean" — used by the EM expectation kernels
 
 
 def prepare_inputs(sm: StateMachine, band: Band, *, ragged_left: bool, ragged_right: bool,
@@ -161,6 +163,20 @@ def prepare_inputs(sm: StateMachine, band: Band, *, ragged_left: bool, ragged_ri
     start = sm.ragged_start if ragged_left else sm.start
     end = sm.ragged_end if ragged_right else sm.end
 
+    # Auxiliary per-cell grids for EM expectation tallies.
+    aux = {}
+    if hasattr(sm, "kmer_ranks"):
+        aux["rank"] = jnp.asarray(sm.kmer_ranks[x_idx + 1])
+    if hasattr(sm, "skip_bin_idx"):
+        aux["bin"] = jnp.asarray(sm.skip_bin_idx[x_idx + 1])
+    if hasattr(sm, "symbol_codes"):
+        cx, cy = sm.symbol_codes
+        aux["sx"] = jnp.asarray(cx[x_idx + 1])
+        aux["sy"] = jnp.asarray(cy[y_idx + 1])
+    if hasattr(sm, "event_means"):
+        ev_means = np.concatenate([[0.0], np.asarray(sm.event_means)])
+        aux["mean"] = jnp.asarray(ev_means[y_idx + 1], dtype=dtype)
+
     inputs = EngineInputs(
         E=jnp.asarray(E, dtype=dtype),
         TP=jnp.asarray(TP, dtype=dtype),
@@ -170,6 +186,7 @@ def prepare_inputs(sm: StateMachine, band: Band, *, ragged_left: bool, ragged_ri
         x=jnp.asarray(x_p), y=jnp.asarray(y_p),
         start=jnp.asarray(start, dtype=dtype),
         end=jnp.asarray(end, dtype=dtype),
+        aux=aux,
     )
     return plan, inputs
 

@@ -207,6 +207,7 @@ def bind_symbol_sequences(sm: StateMachine, seq_x: str, seq_y: str) -> None:
         return e
 
     sm.emissions = emissions
+    sm.symbol_codes = (cx, cy)
 
 
 # ---------------------------------------------------------------------------
@@ -345,6 +346,7 @@ def make_signal_sm3(pore: PoreModel, target_seq: str, events: np.ndarray,
     sm = StateMachine(SM3_SPEC, {k: TV("s", v) for k, v in t.items()},
                       start, ragged_start, end, ragged_end, emissions)
     sm.kmer_ranks = ranks  # exposed for EM per-kmer tallies
+    sm.event_means = events[:, 0]
     return sm
 
 
@@ -417,6 +419,7 @@ def make_signal_sm4(pore: PoreModel, target_seq: str, events: np.ndarray,
     sm = StateMachine(SM4_SPEC, {k: TV("s", v) for k, v in t.items()},
                       start, ragged_start, end, ragged_end, emissions)
     sm.kmer_ranks = ranks
+    sm.event_means = events[:, 0]
     return sm
 
 
@@ -507,6 +510,7 @@ def make_signal_vanilla(pore: PoreModel, target_seq: str, events: np.ndarray,
     sm = StateMachine(VANILLA_SPEC, tvals, start, ragged_start, end, ragged_end, emissions)
     sm.kmer_ranks = ki
     sm.skip_bin_idx = bin_idx
+    sm.event_means = events[:, 0]
     return sm
 
 
@@ -541,4 +545,5 @@ def make_signal_sm3_hdp(density_logp: Callable[[np.ndarray, np.ndarray], np.ndar
     sm = StateMachine(SM3_HDP_SPEC, {k: TV("s", v) for k, v in t.items()},
                       start, ragged_start, end, ragged_end, emissions)
     sm.kmer_ranks = ranks
+    sm.event_means = events[:, 0]
     return sm
