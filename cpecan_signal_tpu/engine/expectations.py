@@ -24,7 +24,15 @@ import jax.numpy as jnp
 
 from ..constants import NUM_OF_KMERS, N_SKIP_BINS
 from ..models.state_machines import SRC_LOWER, SRC_MIDDLE, SRC_UPPER
-from .fb import EngineInputs, EnginePlan, NEG_INF, _edge_tp, diagonal_totals
+from .fb import EngineInputs, EnginePlan, NEG_INF, _edge_tp, diagonal_totals_impl
+
+
+def _likelihood(inp: EngineInputs, totals):
+    """Sum of per-diagonal totals over real diagonals d >= 1 (the reference's
+    per-diagonal likelihood accumulation, pairwiseAligner.c:852-857)."""
+    D = inp.valid.shape[0]
+    real = inp.valid.any(axis=1) & (jnp.arange(D) >= 1)
+    return jnp.where(real, totals, 0.0).sum()
 
 
 def _shifted_sources(inp: EngineInputs, F):
@@ -67,12 +75,12 @@ def _edge_posteriors(plan: EnginePlan, inp: EngineInputs, F, B, totals):
 def transition_expectations(plan: EnginePlan, inp: EngineInputs, F, B):
     """(S, S) transition tallies + likelihood (sum of per-diagonal totals)."""
     D = inp.valid.shape[0]
-    totals = diagonal_totals(plan, inp, F, B)
+    totals = diagonal_totals_impl(plan, inp, F, B)
     S = plan.n_states
     trans = jnp.zeros((S, S), F.dtype)
     for e, p in _edge_posteriors(plan, inp, F, B, totals):
         trans = trans.at[e.frm, e.to].add(p.sum())
-    likelihood = totals[1:D].sum()
+    likelihood = _likelihood(inp, totals)
     return trans, likelihood
 
 
@@ -82,7 +90,7 @@ def threestate_expectations(plan: EnginePlan, inp: EngineInputs, F, B):
     Expectations, pairwiseAligner.c:426-443): transitions + per-kmer tallies
     for edges entering shortGapX."""
     from ..models.state_machines import SHORT_GAP_X
-    totals = diagonal_totals(plan, inp, F, B)
+    totals = diagonal_totals_impl(plan, inp, F, B)
     D = inp.valid.shape[0]
     S = plan.n_states
     trans = jnp.zeros((S, S), F.dtype)
@@ -92,7 +100,7 @@ def threestate_expectations(plan: EnginePlan, inp: EngineInputs, F, B):
         trans = trans.at[e.frm, e.to].add(p.sum())
         if e.to == SHORT_GAP_X:
             kmer_gap = kmer_gap.at[ranks.ravel()].add(p.ravel())
-    return trans, kmer_gap[:NUM_OF_KMERS], totals[1:D].sum()
+    return trans, kmer_gap[:NUM_OF_KMERS], _likelihood(inp, totals)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -100,7 +108,7 @@ def discrete_expectations(plan: EnginePlan, inp: EngineInputs, F, B):
     """fiveState/symbol EM tallies (cell_updateExpectations,
     pairwiseAligner.c:407-424): transitions + per-(to, x, y) emission tallies
     for all edges; gaps involving N excluded."""
-    totals = diagonal_totals(plan, inp, F, B)
+    totals = diagonal_totals_impl(plan, inp, F, B)
     D = inp.valid.shape[0]
     S = plan.n_states
     n_sym = 4
@@ -115,7 +123,7 @@ def discrete_expectations(plan: EnginePlan, inp: EngineInputs, F, B):
         flat = (jnp.clip(sx, 0, n_sym - 1) * n_sym + jnp.clip(sy, 0, n_sym - 1)).ravel()
         emiss = emiss.at[e.to].add(
             jnp.zeros(n_sym * n_sym, F.dtype).at[flat].add(pe.ravel()).reshape(n_sym, n_sym))
-    return trans, emiss, totals[1:D].sum()
+    return trans, emiss, _likelihood(inp, totals)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -124,7 +132,7 @@ def vanilla_expectations(plan: EnginePlan, inp: EngineInputs, F, B):
     pairwiseAligner.c:478-498): beta bins [0,30) from match->shortGapX,
     alpha bins [30,60) from shortGapX->shortGapX."""
     from ..models.state_machines import MATCH, SHORT_GAP_X
-    totals = diagonal_totals(plan, inp, F, B)
+    totals = diagonal_totals_impl(plan, inp, F, B)
     D = inp.valid.shape[0]
     bins = jnp.zeros(2 * N_SKIP_BINS, F.dtype)
     bin_idx = inp.aux["bin"]
@@ -133,7 +141,7 @@ def vanilla_expectations(plan: EnginePlan, inp: EngineInputs, F, B):
             bins = bins.at[bin_idx.ravel()].add(p.ravel())
         if e.frm == SHORT_GAP_X and e.to == SHORT_GAP_X:
             bins = bins.at[bin_idx.ravel() + N_SKIP_BINS].add(p.ravel())
-    return bins, totals[1:D].sum()
+    return bins, _likelihood(inp, totals)
 
 
 @partial(jax.jit, static_argnums=(0, 4))
@@ -143,7 +151,7 @@ def hdp_expectations(plan: EnginePlan, inp: EngineInputs, F, B, threshold: float
     mask per MIDDLE edge into match where p >= threshold.  Returns
     (trans, likelihood, assign_mask (n_mid, D, W), ranks, means)."""
     from ..models.state_machines import MATCH
-    totals = diagonal_totals(plan, inp, F, B)
+    totals = diagonal_totals_impl(plan, inp, F, B)
     D = inp.valid.shape[0]
     S = plan.n_states
     trans = jnp.zeros((S, S), F.dtype)
@@ -153,4 +161,4 @@ def hdp_expectations(plan: EnginePlan, inp: EngineInputs, F, B, threshold: float
         if e.src == SRC_MIDDLE and e.to == MATCH:
             masks.append(p >= threshold)
     assign_mask = jnp.stack(masks, axis=0)
-    return trans, totals[1:D].sum(), assign_mask, inp.aux["rank"], inp.aux["mean"]
+    return trans, _likelihood(inp, totals), assign_mask, inp.aux["rank"], inp.aux["mean"]

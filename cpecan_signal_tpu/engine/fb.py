@@ -104,23 +104,30 @@ class EngineInputs(NamedTuple):
     y: jnp.ndarray        # (D, W) matrix y coordinate
     start: jnp.ndarray    # (S,)
     end: jnp.ndarray      # (S,)
+    last_real: jnp.ndarray  # (D,) bool — True exactly at the final *real*
+                            # diagonal (supports trailing diagonal padding for
+                            # batch bucketing; padded rows have valid == False)
     aux: dict             # optional per-cell int grids: "rank", "bin", "sx", "sy",
                           # "mean" — used by the EM expectation kernels
 
 
 def prepare_inputs(sm: StateMachine, band: Band, *, ragged_left: bool, ragged_right: bool,
-                   dtype=jnp.float64, pad_width: int | None = None
+                   dtype=jnp.float64, pad_width: int | None = None,
+                   pad_diagonals: int | None = None
                    ) -> tuple[EnginePlan, EngineInputs]:
     """Host-side preparation: band geometry grids, bulk emissions, transitions."""
     D = band.n_diagonals
     W = int(band.max_width) if pad_width is None else pad_width
     assert W >= band.max_width
-    Dp = D
+    Dp = D if pad_diagonals is None else pad_diagonals
+    assert Dp >= D
 
-    xmyL = band.xmyL.astype(np.int64)
-    widths = band.widths.astype(np.int64)
+    # Pad band arrays to Dp diagonals: padded rows replicate the final xmyL
+    # with width 0 (valid == False everywhere).
+    xmyL = np.concatenate([band.xmyL, np.full(Dp - D, band.xmyL[-1])]).astype(np.int64)
+    widths = np.concatenate([band.widths, np.zeros(Dp - D)]).astype(np.int64)
 
-    d_grid = np.arange(D)[:, None]
+    d_grid = np.arange(Dp)[:, None]
     k_grid = np.arange(W)[None, :]
     xmy = xmyL[:, None] + 2 * k_grid
     x = (d_grid + xmy) // 2
@@ -132,33 +139,30 @@ def prepare_inputs(sm: StateMachine, band: Band, *, ragged_left: bool, ragged_ri
     y_idx = np.clip(y - 1, -1, max(lY - 1, -1))
 
     E = np.full((Dp + 1, W, sm.spec.n_eclasses), 0.0, dtype=np.float64)
-    E[:D] = sm.emissions(x_idx, y_idx)
-    E[:D][~valid] = 0.0  # keep padding finite; masking handles correctness
+    E[:Dp] = sm.emissions(x_idx, y_idx)
+    E[:Dp][~valid] = 0.0  # keep padding finite; masking handles correctness
 
     plan, tp_scalar, cell_sources = _build_plan(sm, "exact")
     T = len(cell_sources)
     TP = np.zeros((Dp + 1, W, T), dtype=np.float64)
     for t, (kind, arr) in enumerate(cell_sources):
         if kind == "x":
-            TP[:D, :, t] = arr[x_idx + 1]
+            TP[:Dp, :, t] = arr[x_idx + 1]
         else:
-            TP[:D, :, t] = arr[y_idx + 1]
+            TP[:Dp, :, t] = arr[y_idx + 1]
 
     dL = np.zeros(Dp, dtype=np.int32)
     dM = np.zeros(Dp, dtype=np.int32)
     uS = np.zeros(Dp, dtype=np.int32)
     mS = np.zeros(Dp, dtype=np.int32)
-    dL[1:D] = (xmyL[1:] - 1 - xmyL[:-1]) // 2
-    dM[2:D] = (xmyL[2:] - xmyL[:-2]) // 2
-    uS[: D - 1] = (xmyL[:-1] + 1 - xmyL[1:]) // 2
-    mS[: D - 2] = (xmyL[:-2] - xmyL[2:]) // 2
+    dL[1:] = (xmyL[1:] - 1 - xmyL[:-1]) // 2
+    dM[2:] = (xmyL[2:] - xmyL[:-2]) // 2
+    uS[:-1] = (xmyL[:-1] + 1 - xmyL[1:]) // 2
+    mS[:-2] = (xmyL[:-2] - xmyL[2:]) // 2
 
-    valid_p = np.zeros((Dp, W), dtype=bool)
-    valid_p[:D] = valid
-    x_p = np.zeros((Dp, W), dtype=np.int32)
-    y_p = np.zeros((Dp, W), dtype=np.int32)
-    x_p[:D] = x
-    y_p[:D] = y
+    valid_p = valid
+    x_p = x.astype(np.int32)
+    y_p = y.astype(np.int32)
 
     start = sm.ragged_start if ragged_left else sm.start
     end = sm.ragged_end if ragged_right else sm.end
@@ -186,6 +190,7 @@ def prepare_inputs(sm: StateMachine, band: Band, *, ragged_left: bool, ragged_ri
         x=jnp.asarray(x_p), y=jnp.asarray(y_p),
         start=jnp.asarray(start, dtype=dtype),
         end=jnp.asarray(end, dtype=dtype),
+        last_real=jnp.asarray(np.arange(Dp) == D - 1),
         aux=aux,
     )
     return plan, inputs
@@ -218,8 +223,7 @@ def _take_1d(vec, idx, fill):
     return jnp.where(ok, jnp.take(vec, safe), fill)
 
 
-@partial(jax.jit, static_argnums=(0,))
-def forward(plan: EnginePlan, inp: EngineInputs) -> jnp.ndarray:
+def forward_impl(plan: EnginePlan, inp: EngineInputs) -> jnp.ndarray:
     """Banded forward pass -> F (D, W, S) log-probabilities."""
     D, W = inp.valid.shape
     S = plan.n_states
@@ -227,7 +231,8 @@ def forward(plan: EnginePlan, inp: EngineInputs) -> jnp.ndarray:
     k = jnp.arange(W)
 
     f0 = jnp.where(inp.valid[0][:, None], inp.start[None, :], NEG_INF)
-    f_init = (f0, jnp.full((W, S), NEG_INF, inp.E.dtype))
+    # init must share f0's device-varying axes (shard_map scan vma rule)
+    f_init = (f0, jnp.where(jnp.zeros_like(f0, dtype=bool), f0, NEG_INF))
 
     def body(carry, xs):
         f1, f2 = carry
@@ -248,20 +253,27 @@ def forward(plan: EnginePlan, inp: EngineInputs) -> jnp.ndarray:
     return jnp.concatenate([f0[None], F_rest], axis=0)
 
 
-@partial(jax.jit, static_argnums=(0,))
-def backward(plan: EnginePlan, inp: EngineInputs) -> jnp.ndarray:
-    """Banded backward pass -> B (D, W, S)."""
+forward = jax.jit(forward_impl, static_argnums=(0,))
+
+
+def backward_impl(plan: EnginePlan, inp: EngineInputs) -> jnp.ndarray:
+    """Banded backward pass -> B (D, W, S).
+
+    End-state probabilities are injected at the ``last_real`` diagonal, so
+    trailing padded diagonals (valid == False) are transparent.
+    """
     D, W = inp.valid.shape
     S = plan.n_states
     ladd = get_logadd(plan.logadd)
     k = jnp.arange(W)
 
-    b_last = jnp.where(inp.valid[D - 1][:, None], inp.end[None, :], NEG_INF)
-    init = (b_last, jnp.full((W, S), NEG_INF, inp.E.dtype))
+    b_last = jnp.where(inp.valid[D - 1][:, None] & inp.last_real[D - 1],
+                       inp.end[None, :], NEG_INF)
+    init = (b_last, jnp.where(jnp.zeros_like(b_last, dtype=bool), b_last, NEG_INF))
 
     def body(carry, xs):
         b1, b2 = carry  # b_{d+1}, b_{d+2}
-        E1, TP1, E2, TP2, valid_d, uS_d, mS_d = xs
+        E1, TP1, E2, TP2, valid_d, uS_d, mS_d, last_d = xs
         kL = k + uS_d        # to-cell of LOWER edges in diag d+1
         kU = k + uS_d - 1    # to-cell of UPPER edges in diag d+1
         kM = k + mS_d        # to-cell of MIDDLE edges in diag d+2
@@ -280,17 +292,21 @@ def backward(plan: EnginePlan, inp: EngineInputs) -> jnp.ndarray:
                 tp = _take_1d(tp, kN, 0.0)
             val = b_to + e_to + tp
             cur = cur.at[:, e.frm].set(ladd(cur[:, e.frm], val))
+        cur = jnp.where(last_d, inp.end[None, :], cur)
         cur = jnp.where(valid_d[:, None], cur, NEG_INF)
         return (cur, b1), cur
 
     xs = (inp.E[1:D][::-1], inp.TP[1:D][::-1], inp.E[2:D + 1][::-1], inp.TP[2:D + 1][::-1],
-          inp.valid[:-1][::-1], inp.uS[:D - 1][::-1], inp.mS[:D - 1][::-1])
+          inp.valid[:-1][::-1], inp.uS[:D - 1][::-1], inp.mS[:D - 1][::-1],
+          inp.last_real[:-1][::-1])
     _, B_rest = jax.lax.scan(body, init, xs)
     return jnp.concatenate([B_rest[::-1], b_last[None]], axis=0)
 
 
-@partial(jax.jit, static_argnums=(0,))
-def diagonal_totals(plan: EnginePlan, inp: EngineInputs, F, B) -> jnp.ndarray:
+backward = jax.jit(backward_impl, static_argnums=(0,))
+
+
+def diagonal_totals_impl(plan: EnginePlan, inp: EngineInputs, F, B) -> jnp.ndarray:
     """Per-diagonal total probability incl. the match-through-diagonal
     correction (diagonalCalculationTotalProbability, pairwiseAligner.c:736-754)."""
     D, W = inp.valid.shape
@@ -323,18 +339,25 @@ def diagonal_totals(plan: EnginePlan, inp: EngineInputs, F, B) -> jnp.ndarray:
     return totals
 
 
-@partial(jax.jit, static_argnums=(0, 4))
-def posterior_match_probs(plan: EnginePlan, inp: EngineInputs, F, B,
-                          total_mode: str = "per_diagonal"):
+diagonal_totals = jax.jit(diagonal_totals_impl, static_argnums=(0,))
+
+
+def posterior_match_probs_impl(plan: EnginePlan, inp: EngineInputs, F, B,
+                               total_mode: str = "per_diagonal"):
     """Posterior match probabilities per band cell -> (D, W) probabilities,
     zero where invalid or x==0 or y==0 (diagonalCalculationPosteriorMatchProbs,
     pairwiseAligner.c:756-795)."""
-    totals = diagonal_totals(plan, inp, F, B)
+    totals = diagonal_totals_impl(plan, inp, F, B)
     if total_mode == "final":
-        totals = jnp.full_like(totals, totals[-1])
+        # total at the last *real* diagonal
+        last_total = jnp.where(inp.last_real, totals, 0.0).sum()
+        totals = jnp.full_like(totals, last_total)
     m = plan.match_state
     logp = F[:, :, m] + B[:, :, m] - totals[:, None]
     p = jnp.exp(logp)
     ok = inp.valid & (inp.x > 0) & (inp.y > 0)
     p = jnp.where(ok, jnp.minimum(p, 1.0), 0.0)
     return p, totals
+
+
+posterior_match_probs = jax.jit(posterior_match_probs_impl, static_argnums=(0, 4))
