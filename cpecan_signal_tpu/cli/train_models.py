@@ -1,0 +1,176 @@
+"""Baum-Welch training driver: the trainModels.py equivalent.
+
+Outer EM loop (trainModels.py:180-340): per iteration, every read contributes
+per-strand expectation tallies (the E-step); tallies are summed (the reduce
+that the reference does via per-read .expectations files,
+add_and_norm_expectations :126-135), normalized, and loaded back as the next
+iteration's transition/kmer-gap parameters (the M-step).  Running likelihoods
+are logged per iteration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+from ..constants import KMER_LENGTH
+from ..core.anchors import filter_to_remove_overlap, remap_anchor_pairs_with_offset
+from ..em.accumulators import ContinuousPairHmm, HdpHmm, VanillaHmm
+from ..em.expectation_driver import (hdp_expectations, sm3_expectations,
+                                     vanilla_expectations)
+from ..io.fasta import read_first_sequence, reverse_complement
+from ..io.npread import load_npread
+from ..models.params import AlignmentParams, cli_defaults
+from ..models.pore_model import load_pore_model, scale_model
+from ..models.state_machines import (make_signal_sm3, make_signal_sm3_hdp,
+                                     make_signal_vanilla)
+from .vanilla_align import guide_alignment, rebased_anchor_pairs
+
+
+def _prepare_read(ref_seq, npread, params):
+    """Guide + per-strand (target, events, anchors) tuples, like align_read."""
+    guide = guide_alignment(ref_seq, npread.twoD_read, params.constraint_diagonal_trim)
+    if guide is None:
+        return None
+    if guide.strand1:
+        trimmed = ref_seq[guide.start1:guide.end1]
+    else:
+        trimmed = reverse_complement(ref_seq[guide.end1:guide.start1])
+    rc_trimmed = reverse_complement(trimmed)
+    anchors = rebased_anchor_pairs(guide, params.constraint_diagonal_trim)
+    end2 = min(guide.end2, len(npread.template_event_map) - 1)
+    lX_kmers = len(trimmed) - KMER_LENGTH + 1
+
+    tm = npread.template_event_map
+    t_events = npread.template_events[int(tm[guide.start2]):int(tm[end2])]
+    t_anchors = filter_to_remove_overlap(remap_anchor_pairs_with_offset(
+        anchors, tm, guide.start2))
+
+    cm = npread.complement_event_map
+    ev_lo = int(cm[end2])
+    c_events = npread.complement_events[ev_lo:int(cm[guide.start2])]
+    if len(anchors):
+        cx = (lX_kmers - 1) - anchors[:, 0]
+        cy = cm[np.minimum(anchors[:, 1] + guide.start2, len(cm) - 1)] - ev_lo
+        c_anchors = np.stack([cx, cy], axis=1)[::-1]
+        ok = (c_anchors >= 0).all(axis=1) & (c_anchors[:, 0] < max(lX_kmers, 1)) & \
+             (c_anchors[:, 1] < max(len(c_events), 1))
+        c_anchors = filter_to_remove_overlap(c_anchors[ok])
+    else:
+        c_anchors = anchors
+    return {"t": (trimmed, t_events, t_anchors, npread.template_params),
+            "c": (rc_trimmed, c_events, c_anchors, npread.complement_params)}
+
+
+def train(ref_path: str, npread_paths: list[str], template_model_path: str,
+          complement_model_path: str, iterations: int = 10,
+          sm_type: str = "threeState", params: AlignmentParams | None = None,
+          out_dir: str = ".", assignment_threshold: float = 0.0,
+          log=print) -> dict:
+    """Run EM; returns final accumulators per strand and likelihood history."""
+    params = params or cli_defaults()
+    _, ref_seq = read_first_sequence(ref_path)
+    models = {"t": load_pore_model(template_model_path),
+              "c": load_pore_model(complement_model_path)}
+
+    reads = []
+    for path in npread_paths:
+        npread = load_npread(path)
+        prep = _prepare_read(ref_seq, npread, params)
+        if prep is not None:
+            reads.append(prep)
+    if not reads:
+        raise RuntimeError("no mappable training reads")
+    log(f"train_models - using {len(reads)} reads")
+
+    state = {s: {"transitions": None, "kmer_gaps": None, "bins": None}
+             for s in ("t", "c")}
+    history = []
+    final = {}
+    for it in range(iterations):
+        accs = {}
+        for strand in ("t", "c"):
+            if sm_type == "threeState":
+                acc = ContinuousPairHmm.empty()
+            elif sm_type == "vanilla":
+                acc = VanillaHmm.empty()
+            else:
+                acc = HdpHmm.empty(threshold=assignment_threshold)
+            for prep in reads:
+                target, events, anchors, sp = prep[strand]
+                if len(events) == 0:
+                    continue
+                pore = scale_model(models[strand], sp.scale, sp.shift, sp.var,
+                                   sp.scale_sd, sp.var_sd)
+                st = state[strand]
+                if sm_type == "threeState":
+                    make_sm = (lambda t, e, _p=pore, _s=st:
+                               make_signal_sm3(_p, t, e, _s["transitions"], _s["kmer_gaps"]))
+                    r = sm3_expectations(make_sm, target, events, anchors, params)
+                elif sm_type == "vanilla":
+                    sname = "template" if strand == "t" else "complement"
+                    make_sm = (lambda t, e, _p=pore, _s=st, _n=sname:
+                               make_signal_vanilla(_p, t, e, _n, _s["bins"]))
+                    r = vanilla_expectations(make_sm, target, events, anchors, params)
+                else:
+                    raise ValueError(f"EM for {sm_type} not driven by this CLI")
+                acc.add(r)
+            acc.normalize()
+            accs[strand] = acc
+            st = state[strand]
+            if sm_type == "threeState":
+                st["transitions"], st["kmer_gaps"] = acc.to_sm3_params()
+            elif sm_type == "vanilla":
+                st["bins"] = acc.bins
+        lik = sum(a.likelihood for a in accs.values())
+        history.append(lik)
+        log(f"train_models - iteration {it}: likelihood {lik:.2f}")
+        final = accs
+        for strand, name in (("t", "template"), ("c", "complement")):
+            final[strand].write(os.path.join(out_dir, f"{name}_trained.hmm"))
+    return {"accumulators": final, "likelihoods": history}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="EM training (trainModels equivalent)")
+    ap.add_argument("--ref", "-r", required=True)
+    ap.add_argument("--npReads", "-d", required=True,
+                    help="directory of .npRead files or a glob")
+    ap.add_argument("--templateModel", "-T",
+                    default="/root/reference/models/template_median68pA.model")
+    ap.add_argument("--complementModel", "-C",
+                    default="/root/reference/models/complement_median68pA_pop2.model")
+    ap.add_argument("--iterations", "-i", type=int, default=10)
+    ap.add_argument("--strawMan", "-s", action="store_true")
+    ap.add_argument("--vanilla", action="store_true")
+    ap.add_argument("--outDir", "-o", default=".")
+    ap.add_argument("--amount", "-a", type=int, default=None,
+                    help="cap total training bases (cull_training_files)")
+    args = ap.parse_args(argv)
+
+    if os.path.isdir(args.npReads):
+        paths = sorted(glob.glob(os.path.join(args.npReads, "*.npRead")))
+    else:
+        paths = sorted(glob.glob(args.npReads))
+    if args.amount:
+        total, kept = 0, []
+        for p in paths:
+            with open(p) as fh:
+                n = int(fh.readline().split()[0])
+            if total + n > args.amount:
+                break
+            total += n
+            kept.append(p)
+        paths = kept
+    sm_type = "vanilla" if args.vanilla else "threeState"
+    train(args.ref, paths, args.templateModel, args.complementModel,
+          iterations=args.iterations, sm_type=sm_type, out_dir=args.outDir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

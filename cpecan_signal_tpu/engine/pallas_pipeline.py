@@ -1,0 +1,198 @@
+"""Host packing + pipeline for the Pallas wavefront kernels (threeState).
+
+Packs one alignment problem into the compact per-x/per-y parameter arrays the
+emissions kernel slices (ops/pallas_fb.py), runs emissions -> forward ->
+fused backward, and exposes posterior/EM outputs.
+
+Index conventions: per-x arrays are indexed by x (= x_idx + 1, so slot 0 is
+the x = -1 sentinel) shifted by +PADX so window cells left of the matrix stay
+in-bounds; reversed event arrays are indexed by ri = lY - y (increasing along
+a diagonal).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import KMER_LENGTH, NUM_OF_KMERS
+from ..core.window import WindowBand
+from ..models.pore_model import PoreModel
+from ..models.state_machines import LOG_TENTH, make_signal_sm3
+from ..ops import pallas_fb as pk
+from . import fb
+
+NEG_INF = pk.NEG_INF
+
+
+class SM3PallasProblem(NamedTuple):
+    xarr: jnp.ndarray    # (N_XPARAMS, lXp) f32
+    evr: jnp.ndarray     # (2, lYp) f32
+    x0: jnp.ndarray      # (Dp+1,) int32 emission x-slice offsets
+    yr0: jnp.ndarray     # (Dp+1,) int32
+    diag_scalars: jnp.ndarray  # (Dp+1, 1, 8) int32 (ops/pallas_fb.DS_*)
+    d_last: jnp.ndarray  # () int32
+    start: jnp.ndarray   # (S,) f32
+    end: jnp.ndarray
+    tp_scalar: jnp.ndarray  # (n,) f32
+
+
+def _gauss_pack(table: np.ndarray, ranks: np.ndarray):
+    """(mu, inv_sd, logc) triplets for level & noise from a model table
+    gathered by rank; sigma == 0 rows (sentinels) become -inf emissions."""
+    mu_l = table[ranks, 0]
+    sd_l = table[ranks, 1]
+    mu_n = table[ranks, 2]
+    sd_n = table[ranks, 3]
+
+    def pack(mu, sd):
+        ok = sd != 0.0
+        inv = np.where(ok, 1.0 / np.where(ok, sd, 1.0), 0.0)
+        logc = np.where(ok, -0.91893853320467267 - np.log(np.where(ok, sd, 1.0)),
+                        NEG_INF)
+        return np.where(ok, mu, 0.0), inv, logc
+
+    return pack(mu_l, sd_l) + pack(mu_n, sd_n)
+
+
+def make_sm3_pallas_problem(pore: PoreModel, target_seq: str, events: np.ndarray,
+                            wband: WindowBand, *, transitions=None,
+                            kmer_gap_probs=None, ragged_left=True,
+                            ragged_right=True, pad_lx: int | None = None,
+                            pad_ly: int | None = None, pad_d: int | None = None
+                            ) -> tuple[fb.EnginePlan, SM3PallasProblem]:
+    sm = make_signal_sm3(pore, target_seq, events, transitions, kmer_gap_probs)
+    plan, tp_scalar, cell_sources = fb._build_plan(sm, "exact")
+    assert not cell_sources
+
+    W = wband.W
+    D = wband.n_diagonals
+    Dp = D if pad_d is None else pad_d
+    lX = len(target_seq) - KMER_LENGTH + 1
+    lY = len(events)
+    lx_cap = lX if pad_lx is None else pad_lx
+    ly_cap = lY if pad_ly is None else pad_ly
+
+    # --- per-x parameter pack: slots x = 0..lX (+1 sentinel at 0), padded by
+    # W on both sides so any window slice is in-bounds ---
+    PADX = W
+    lXp = -(-(lx_cap + 1 + 2 * W + 2 * 128) // 128) * 128
+    xarr = np.zeros((pk.N_XPARAMS, lXp), dtype=np.float32)
+    xarr[2] = NEG_INF   # logc rows default to -inf (invalid)
+    xarr[5] = NEG_INF
+    xarr[8] = NEG_INF
+    xarr[11] = NEG_INF
+    xarr[12] = NEG_INF  # gapx
+    ranks = sm.kmer_ranks  # (lX+1,)
+    sl = slice(PADX, PADX + lX + 1)
+    m = _gauss_pack(pore.match_model, ranks)
+    y = _gauss_pack(pore.y_model, ranks)
+    for row, vals in enumerate(m + y):
+        xarr[row, sl] = vals
+    gapx_tab = np.full(NUM_OF_KMERS + 2, LOG_TENTH)
+    if kmer_gap_probs is not None:
+        gapx_tab[:NUM_OF_KMERS] = kmer_gap_probs
+    gapx_tab[NUM_OF_KMERS:] = NEG_INF
+    xarr[12, sl] = np.maximum(gapx_tab[ranks], NEG_INF)
+
+    # --- reversed event arrays: ri = lY - y in [0, lY], padded by W ---
+    PADY = W
+    lYp = -(-(ly_cap + 1 + 2 * W + 2 * 128) // 128) * 128
+    evr = np.zeros((2, lYp), dtype=np.float32)
+    evr[0, PADY:PADY + lY] = events[::-1, 0]
+    evr[1, PADY:PADY + lY] = events[::-1, 1]
+    # slot ri = lY (y = 0 -> null event) stays 0
+
+    # --- per-diagonal scalars (padded rows keep stepping the window) ---
+    w0 = np.empty(Dp, dtype=np.int64)
+    w0[:D] = wband.w0
+    for d in range(D, Dp):
+        w0[d] = w0[d - 1] + (1 if (d - D) % 2 == 0 else -1)
+    xmyL = np.empty(Dp, dtype=np.int64)
+    xmyR = np.empty(Dp, dtype=np.int64)
+    xmyL[:D] = wband.xmyL
+    xmyR[:D] = wband.xmyR
+    xmyL[D:] = w0[D:] + 2 * W + 2
+    xmyR[D:] = w0[D:]
+
+    d_arange = np.arange(Dp)
+    x_of_j0 = (d_arange + w0) // 2           # x at window cell j=0
+    y_of_j0 = (d_arange - w0) // 2
+    x0 = np.zeros(Dp + 1, dtype=np.int32)
+    yr0 = np.zeros(Dp + 1, dtype=np.int32)
+    x0[:Dp] = np.clip(x_of_j0 + PADX, 0, lXp - W)
+    yr0[:Dp] = np.clip(lY - y_of_j0 + PADY, 0, lYp - W)
+
+    fL = np.zeros(Dp, dtype=np.int32)
+    fM = np.zeros(Dp, dtype=np.int32)
+    bL = np.zeros(Dp, dtype=np.int32)
+    bM = np.zeros(Dp, dtype=np.int32)
+    fL[1:] = (w0[1:] - 1 - w0[:-1]) // 2
+    fM[2:] = (w0[2:] - w0[:-2]) // 2
+    bL[:-1] = (w0[:-1] + 1 - w0[1:]) // 2
+    bM[:-2] = (w0[:-2] - w0[2:]) // 2
+
+    def san(v):
+        return np.maximum(np.asarray(v, dtype=np.float64), NEG_INF).astype(np.float32)
+
+    ds = np.zeros((Dp + 1, 1, 8), dtype=np.int32)
+    ds[:Dp, 0, pk.DS_FL] = fL
+    ds[:Dp, 0, pk.DS_FM] = fM
+    ds[:Dp, 0, pk.DS_BL] = bL
+    ds[:Dp, 0, pk.DS_BM] = bM
+    ds[:Dp, 0, pk.DS_W0] = w0
+    ds[:Dp, 0, pk.DS_XMYL] = xmyL
+    ds[:Dp, 0, pk.DS_XMYR] = xmyR
+    ds[Dp] = ds[Dp - 1]  # row Dp: read when the kernel peeks at d+1 off the end
+
+    prob = SM3PallasProblem(
+        xarr=jnp.asarray(xarr),
+        evr=jnp.asarray(evr),
+        x0=jnp.asarray(x0), yr0=jnp.asarray(yr0),
+        diag_scalars=jnp.asarray(ds),
+        d_last=jnp.asarray(D - 1, dtype=jnp.int32),
+        start=jnp.asarray(san(sm.ragged_start if ragged_left else sm.start)),
+        end=jnp.asarray(san(sm.ragged_end if ragged_right else sm.end)),
+        tp_scalar=jnp.asarray(san(tp_scalar)),
+    )
+    return plan, prob
+
+
+def stack_problems(probs: list[SM3PallasProblem]) -> SM3PallasProblem:
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *probs)
+
+
+def run_sm3_pallas(plan: fb.EnginePlan, W: int, batch: SM3PallasProblem,
+                   Bt: int = 8, stages: int = 3):
+    """Pipeline body: emissions -> forward -> fused backward."""
+    Dp = batch.diag_scalars.shape[1] - 1
+    E = pk.emissions_sm3(batch.x0, batch.yr0, batch.xarr, batch.evr, W, Dp)
+    F = pk.forward_sm3(plan, E, batch.diag_scalars, batch.d_last, batch.start,
+                       batch.tp_scalar, Bt=Bt)
+    p, totals, pgapx, stats = pk.backward_sm3(
+        plan, E, F, batch.diag_scalars, batch.d_last, batch.end,
+        batch.tp_scalar, Bt=Bt, stages=stages)
+    return p[:, :, 0, :], totals[:, :, 0, 0], pgapx[:, :, 0, :], stats[:, 0, :]
+
+
+def unpack_stats(plan: fb.EnginePlan, stats: np.ndarray):
+    """stats (B, 128) -> (trans (B, S, S), likelihood (B,))."""
+    S = plan.n_states
+    trans = np.zeros((stats.shape[0], S, S))
+    for ei, e in enumerate(plan.edges):
+        trans[:, e.frm, e.to] += stats[:, ei]
+    return trans, stats[:, pk.LIK_LANE]
+
+
+def make_jit_pipeline(plan: fb.EnginePlan, W: int, Bt: int = 8):
+    """One fused jit for the whole pipeline."""
+
+    @jax.jit
+    def pipeline(batch: SM3PallasProblem):
+        return run_sm3_pallas(plan, W, batch, Bt=Bt)
+
+    return pipeline

@@ -1,0 +1,427 @@
+"""Pallas TPU wavefront kernels for the banded forward-backward engine.
+
+Three kernels per (batched) alignment problem set, all operating on the
+constant-shift window layout (engine/window.py):
+
+  1. emissions kernel — per (problem, diagonal): emission rows are *contiguous
+     slices* of per-x / per-(reversed) y parameter arrays (x is contiguous and
+     y is anti-contiguous along an anti-diagonal), so the reference's per-cell
+     table-walk + pdf (stateMachine.c:595-629) becomes two dynamic slices and a
+     handful of fused VPU ops; writes E (B, Dp+1, C, W) to HBM.
+
+  2. forward kernel — grid (B/Bt, Dp), Bt problems per block stacked on
+     sublanes, W on lanes; the diagonal recursion lives in VMEM scratch with
+     all neighbor access as one-lane rolls selected by per-(problem, diagonal)
+     scalars.  log-add uses the reference's branch-free 4-piece cubic
+     (pairwiseAligner.c:238-255) — no transcendentals in the hot loop.
+
+  3. backward kernel — same structure run in reverse; fuses per-diagonal
+     total probability (incl. the match-through-diagonal correction,
+     pairwiseAligner.c:736-754), posterior match probabilities, and the EM
+     edge-posterior tallies (transition counts, gapX-entry rows for the
+     per-kmer scatter, likelihood) so B never round-trips HBM.
+
+The kernels are generic over any EnginePlan without per-cell transition terms
+(threeState, threeStateHdp, fourState, fiveState); per-cell-transition models
+(vanilla/echelon) use the XLA window engine.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import LOG_ZERO
+from ..engine.fb import EnginePlan
+from ..models.state_machines import (SHORT_GAP_X, SRC_LOWER, SRC_MIDDLE,
+                                     SRC_UPPER)
+
+NEG_INF = -1e30  # finite stand-in: keeps f32 arithmetic NaN-free in-kernel
+_LOG_UNDERFLOW = 7.5
+
+
+def _ladd(x, y):
+    """Reference logAdd: max + 4-piece cubic of |x-y| (pairwiseAligner.c:238-255)."""
+    hi = jnp.maximum(x, y)
+    d = jnp.minimum(hi - jnp.minimum(x, y), _LOG_UNDERFLOW)
+    p1 = ((-0.009350833524763 * d + 0.130659527668286) * d + 0.498799810682272) * d + 0.693203116424741
+    p2 = ((-0.014532321752540 * d + 0.139942324101744) * d + 0.495635523139337) * d + 0.692140569840976
+    p3 = ((-0.004605031767994 * d + 0.063427417320019) * d + 0.695956496475118) * d + 0.514272634594009
+    p4 = ((-0.000458661602210 * d + 0.009695946122598) * d + 0.930734667215156) * d + 0.168037164329057
+    lut = jnp.where(d <= 1.0, p1, jnp.where(d <= 2.5, p2, jnp.where(d <= 4.5, p3, p4)))
+    out = hi + jnp.where(d >= _LOG_UNDERFLOW, 0.0, lut)
+    return jnp.maximum(out, NEG_INF)  # keep -1e30 saturated
+
+
+def _shift(v, s, fill=NEG_INF):
+    """out[..., j] = v[..., j + s] for per-row scalars s (.., 1, 1) in
+    {-1, 0, +1}; edge lanes filled.  Static rolls + vector select."""
+    W = v.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    # pltpu.roll requires non-negative shifts; rolling right by W-1 == left by 1
+    up = jnp.where(lane == W - 1, fill, pltpu.roll(v, W - 1, axis=v.ndim - 1))
+    down = jnp.where(lane == 0, fill, pltpu.roll(v, 1, axis=v.ndim - 1))
+    return jnp.where(s == 0, v, jnp.where(s > 0, up, down))
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: emissions
+# ---------------------------------------------------------------------------
+# Per-x parameter pack layout (rows of xarr):
+#   0..2  match level (mu, inv_sd, logc)      3..5  match noise (mu, inv_sd, logc)
+#   6..8  y level     (mu, inv_sd, logc)      9..11 y noise    (mu, inv_sd, logc)
+#   12    gapX log-prob
+N_XPARAMS = 13
+
+
+def _emissions_kernel(x0_ref, yr0_ref, xarr_ref, evr_ref, out_ref, *, W, Dp):
+    d = pl.program_id(1)
+    b = pl.program_id(0)
+
+    @pl.when(d >= Dp)
+    def _():
+        out_ref[0, 0] = jnp.zeros_like(out_ref[0, 0])
+
+    @pl.when(d < Dp)
+    def _():
+        xs = x0_ref[b, d]
+        ys = yr0_ref[b, d]
+
+        def row(ref, r, start):
+            # lane-dim dynamic slices must be 128-aligned: load an aligned
+            # W+128 span and rotate by the remainder (validated on-device)
+            al = pl.multiple_of((start // 128) * 128, 128)
+            v = ref[0, r:r + 1, pl.ds(al, W + 128)]
+            rot = pltpu.roll(v, W + 128 - (start - al), axis=1)
+            return rot[0:1, :W]
+
+        mean = row(evr_ref, 0, ys)
+        noise = row(evr_ref, 1, ys)
+
+        def gauss(base, obs):
+            mu = row(xarr_ref, base, xs)
+            inv = row(xarr_ref, base + 1, xs)
+            logc = row(xarr_ref, base + 2, xs)
+            a = (obs - mu) * inv
+            return jnp.maximum(logc - 0.5 * a * a, NEG_INF)
+
+        e_match = jnp.maximum(gauss(0, mean) + gauss(3, noise), NEG_INF)
+        e_y = jnp.maximum(gauss(6, mean) + gauss(9, noise), NEG_INF)
+        e_gapx = row(xarr_ref, 12, xs)
+        out_ref[0, 0] = jnp.concatenate([e_gapx, e_match, e_y], axis=0)
+
+
+def emissions_sm3(x0, yr0, xarr, evr, W: int, Dp: int):
+    """x0/yr0: (B, Dp) int32 slice offsets; xarr: (B, N_XPARAMS, lXp);
+    evr: (B, 2, lYp).  Returns E (B, Dp+1, C, W)."""
+    Bn = xarr.shape[0]
+    lXp = xarr.shape[2]
+    lYp = evr.shape[2]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Bn, Dp + 1),
+        in_specs=[
+            pl.BlockSpec((1, N_XPARAMS, lXp), lambda b, d, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, lYp), lambda b, d, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 3, W), lambda b, d, *_: (b, d, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        partial(_emissions_kernel, W=W, Dp=Dp),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bn, Dp + 1, 3, W), jnp.float32),
+    )(x0, yr0, xarr, evr)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: forward
+# ---------------------------------------------------------------------------
+
+# Packed per-(problem, diagonal) scalar rows (DS_* index the last axis of the
+# (B, Dp+1, 1, 8) diag_scalars tensor).
+DS_FL, DS_FM, DS_BL, DS_BM, DS_W0, DS_XMYL, DS_XMYR, DS_PAD = range(8)
+# stats output lanes: lane e (< n_edges) = edge e transition tally; lane 64 = likelihood
+LIK_LANE = 64
+
+
+def _forward_kernel(plan, Bt, W, E_ref, ds_ref, dlast_ref, start_ref, tps_ref,
+                    F_ref, f1, f2):
+    S = plan.n_states
+    d = pl.program_id(1)
+
+    ds = ds_ref[:, 0, 0, :]  # (Bt, 8) int32
+    col = lambda i: ds[:, i:i + 1].reshape(Bt, 1, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, 1, W), 2)
+    xmy = col(DS_W0) + 2 * lane
+    valid = ((xmy >= col(DS_XMYL)) & (xmy <= col(DS_XMYR))
+             & (d <= dlast_ref[...].reshape(Bt, 1, 1)))
+
+    E = E_ref[:, 0]  # (Bt, C, W)
+
+    def tp_of(e):
+        t = None
+        for i in e.scalar_ids:
+            c = tps_ref[:, i:i + 1]
+            t = c if t is None else t + c
+        return 0.0 if t is None else t
+
+    @pl.when(d == 0)
+    def _():
+        cur = jnp.where(valid, start_ref[...][:, :, None], NEG_INF)
+        cur = jnp.broadcast_to(cur, (Bt, S, W))
+        f1[:] = cur
+        f2[:] = jnp.full((Bt, S, W), NEG_INF, jnp.float32)
+        F_ref[:, 0] = cur
+
+    @pl.when(d > 0)
+    def _():
+        sL = col(DS_FL)
+        sM = col(DS_FM)
+        prevL = _shift(f1[:], sL)
+        prevU = _shift(f1[:], sL + 1)
+        prevM = _shift(f2[:], sM)
+        srcs = (prevL, prevM, prevU)
+        acc = [jnp.full((Bt, W), NEG_INF, jnp.float32) for _ in range(S)]
+        for e in plan.edges:
+            val = srcs[e.src][:, e.frm, :] + E[:, e.eclass, :] + tp_of(e)
+            acc[e.to] = _ladd(acc[e.to], val)
+        cur = jnp.stack(acc, axis=1)
+        cur = jnp.where(valid, cur, NEG_INF)
+        F_ref[:, 0] = cur
+        f2[:] = f1[:]
+        f1[:] = cur
+
+
+def forward_sm3(plan: EnginePlan, E, diag_scalars, d_last, start, tp_scalar,
+                Bt: int = 8):
+    """E (B, Dp+1, C, W); diag_scalars (B, Dp+1, 1, 8) int32 (see DS_*);
+    start (B, S); tp_scalar (B, n).  Returns F (B, Dp, S, W)."""
+    Bn, Dp1, C, W = E.shape
+    Dp = Dp1 - 1
+    S = plan.n_states
+    nb = Bn // Bt
+    assert nb * Bt == Bn
+    grid = (nb, Dp)
+    specs = [
+        pl.BlockSpec((Bt, 1, C, W), lambda b, d: (b, d, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1, 1, 8), lambda b, d: (b, d, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1), lambda b, d: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, S), lambda b, d: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, tp_scalar.shape[1]), lambda b, d: (b, 0), memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        partial(_forward_kernel, plan, Bt, W),
+        grid=grid,
+        in_specs=specs,
+        out_specs=pl.BlockSpec((Bt, 1, S, W), lambda b, d: (b, d, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bn, Dp, S, W), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Bt, S, W), jnp.float32),
+                        pltpu.VMEM((Bt, S, W), jnp.float32)],
+    )(E, diag_scalars, d_last.reshape(Bn, 1), start, tp_scalar)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 3: backward + totals + posteriors + EM tallies
+# ---------------------------------------------------------------------------
+
+def _lse_rows(v):
+    """logsumexp over (S, W) per problem row: v (Bt, S, W) -> (Bt, 1)."""
+    m = jnp.max(v, axis=(1, 2), keepdims=True)
+    s = jnp.sum(jnp.exp(v - m), axis=(1, 2), keepdims=True)
+    out = m + jnp.log(jnp.maximum(s, 1e-38))
+    return jnp.where(m <= NEG_INF, NEG_INF, out)[:, :, 0]
+
+
+def _backward_kernel(plan, Bt, W, Dp, stages,
+                     E_d_ref, E_d1_ref, E_d2_ref, F_d_ref, F_dm1_ref, F_dm2_ref,
+                     ds_ref, ds1_ref, dlast_ref, end_ref, tps_ref,
+                     p_ref, tot_ref, pgx_ref, stats_ref,
+                     b1, b2):
+    S = plan.n_states
+    t = pl.program_id(1)
+    d = Dp - 1 - t
+
+    ds = ds_ref[:, 0, 0, :]    # (Bt, 8) scalars at diagonal d
+    ds1 = ds1_ref[:, 0, 0, :]  # scalars at diagonal d+1
+    col = lambda i: ds[:, i:i + 1].reshape(Bt, 1, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, 1, W), 2)
+    xmy = col(DS_W0) + 2 * lane
+    dlast = dlast_ref[...].reshape(Bt, 1, 1)
+    valid = (xmy >= col(DS_XMYL)) & (xmy <= col(DS_XMYR)) & (d <= dlast)
+
+    def tp_of(e):
+        tval = None
+        for i in e.scalar_ids:
+            c = tps_ref[:, i:i + 1]
+            tval = c if tval is None else tval + c
+        return 0.0 if tval is None else tval
+
+    @pl.when(t == 0)
+    def _():
+        b1[:] = jnp.full((Bt, S, W), NEG_INF, jnp.float32)
+        b2[:] = jnp.full((Bt, S, W), NEG_INF, jnp.float32)
+        stats_ref[...] = jnp.zeros_like(stats_ref)
+
+    E_d = E_d_ref[:, 0]
+    E_d1 = E_d1_ref[:, 0]
+    E_d2 = E_d2_ref[:, 0]
+    F_d = F_d_ref[:, 0]
+    F_dm1 = F_dm1_ref[:, 0]
+    F_dm2 = F_dm2_ref[:, 0]
+
+    sbL = col(DS_BL)
+    sbM = col(DS_BM)
+
+    # --- backward recursion for diagonal d ---
+    acc = [jnp.full((Bt, W), NEG_INF, jnp.float32) for _ in range(S)]
+    for e in plan.edges:
+        if e.src == SRC_LOWER:
+            sh, bN, EN = sbL, b1[:], E_d1
+        elif e.src == SRC_UPPER:
+            sh, bN, EN = sbL - 1, b1[:], E_d1
+        else:
+            sh, bN, EN = sbM, b2[:], E_d2
+        val = (_shift(bN[:, e.to:e.to + 1, :], sh)[:, 0, :]
+               + _shift(EN[:, e.eclass:e.eclass + 1, :], sh, fill=0.0)[:, 0, :]
+               + tp_of(e))
+        acc[e.frm] = _ladd(acc[e.frm], val)
+    cur = jnp.stack(acc, axis=1)
+    # inject end-state probs at each problem's last real diagonal
+    cur = jnp.where(d == dlast, end_ref[...][:, :, None], cur)
+    cur = jnp.where(valid, cur, NEG_INF)
+
+    # --- per-diagonal total probability ---
+    if stages >= 2:
+        vmask = jnp.where(valid, 0.0, NEG_INF)
+        t1 = _lse_rows(F_d + cur + vmask)
+        # match-through-diagonal correction: forward-extend F[d-1] by MIDDLE
+        # edges onto diag d+1's grid, dot with b_{d+1}
+        sM1 = ds1[:, DS_FM:DS_FM + 1].reshape(Bt, 1, 1)
+        c_acc = [jnp.full((Bt, W), NEG_INF, jnp.float32) for _ in range(S)]
+        for e in plan.edges:
+            if e.src != SRC_MIDDLE:
+                continue
+            val = (_shift(F_dm1[:, e.frm:e.frm + 1, :], sM1)[:, 0, :]
+                   + E_d1[:, e.eclass, :] + tp_of(e))
+            c_acc[e.to] = _ladd(c_acc[e.to], val)
+        c = jnp.stack(c_acc, axis=1)
+        t2 = _lse_rows(c + b1[:])
+        have_t2 = (d >= 1) & (d < Dp - 1)
+        total = jnp.where(have_t2, _ladd(t1, t2), t1)   # (Bt, 1)
+        tot_ref[:, 0, 0, :] = total
+    else:
+        total = jnp.zeros((Bt, 1), jnp.float32)
+        tot_ref[:, 0, 0, :] = total
+
+    # --- posterior match probabilities ---
+    if stages >= 2:
+        m = plan.match_state
+        x_pos = xmy > -d   # x > 0
+        y_pos = xmy < d    # y > 0
+        p = jnp.exp(jnp.minimum(F_d[:, m, :] + cur[:, m, :] - total, 0.0))
+        p = jnp.where((valid & x_pos & y_pos)[:, 0, :], p, 0.0)
+        p_ref[:, 0, 0] = p
+    else:
+        p_ref[:, 0, 0] = cur[:, plan.match_state, :]
+
+    # --- EM tallies: per-edge posterior sums + likelihood, accumulated as
+    # lane-masked adds into the (Bt, 1, 128) stats block (lane e = edge e's
+    # transition tally; lane 64 = likelihood) ---
+    if stages >= 3:
+        sfL = col(DS_FL)
+        sfM = col(DS_FM)
+        srcL = _shift(F_dm1, sfL)
+        srcU = _shift(F_dm1, sfL + 1)
+        srcM = _shift(F_dm2, sfM)
+        srcs = (srcL, srcM, srcU)
+        em_ok = (valid[:, 0, :]) & (d >= 1)
+        stats_lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, 1, 128), 2)
+        add = jnp.zeros((Bt, 1, 128), jnp.float32)
+        pgx = jnp.zeros((Bt, W), jnp.float32)
+        for ei, e in enumerate(plan.edges):
+            logp = (srcs[e.src][:, e.frm, :] + cur[:, e.to, :]
+                    + E_d[:, e.eclass, :] + tp_of(e) - total)
+            pe = jnp.where(em_ok, jnp.exp(jnp.minimum(logp, 0.0)), 0.0)
+            pe_sum = jnp.sum(pe, axis=1, keepdims=True)   # (Bt, 1)
+            add = add + jnp.where(stats_lane == ei, pe_sum[:, :, None], 0.0)
+            if e.to == SHORT_GAP_X:
+                pgx = pgx + pe
+        lik_d = jnp.where((d >= 1) & (d <= dlast[:, :, 0]), total, 0.0)
+        add = add + jnp.where(stats_lane == LIK_LANE, lik_d[:, :, None], 0.0)
+        stats_ref[...] += add
+        pgx_ref[:, 0, 0] = pgx
+    else:
+        pgx_ref[:, 0, 0] = jnp.zeros((Bt, W), jnp.float32)
+
+    # rotate carries
+    b2[:] = b1[:]
+    b1[:] = cur
+
+
+def backward_sm3(plan: EnginePlan, E, F, diag_scalars, d_last, end, tp_scalar,
+                 Bt: int = 8, stages: int = 3):
+    """Fused backward pass.  Returns (p (B,Dp,1,W), totals (B,Dp,1,1),
+    pgapx (B,Dp,1,W), stats (B,1,128): lane e = edge-e transition tally,
+    lane LIK_LANE = likelihood).  ``stages`` gates debug subsets (1 = bare
+    recursion, 2 = +totals/posteriors, 3 = +EM tallies)."""
+    Bn, Dp1, C, W = E.shape
+    Dp = Dp1 - 1
+    S = plan.n_states
+    nb = Bn // Bt
+    assert nb * Bt == Bn
+
+    def erow(off):
+        return lambda b, t: (b, jnp.clip(Dp - 1 - t + off, 0, Dp), 0, 0)
+
+    def frow(off):
+        return lambda b, t: (b, jnp.clip(Dp - 1 - t + off, 0, Dp - 1), 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((Bt, 1, C, W), erow(0), memory_space=pltpu.VMEM),   # E_d
+        pl.BlockSpec((Bt, 1, C, W), erow(1), memory_space=pltpu.VMEM),   # E_d1
+        pl.BlockSpec((Bt, 1, C, W), erow(2), memory_space=pltpu.VMEM),   # E_d2
+        pl.BlockSpec((Bt, 1, S, W), frow(0), memory_space=pltpu.VMEM),   # F_d
+        pl.BlockSpec((Bt, 1, S, W), frow(-1), memory_space=pltpu.VMEM),  # F_dm1
+        pl.BlockSpec((Bt, 1, S, W), frow(-2), memory_space=pltpu.VMEM),  # F_dm2
+        pl.BlockSpec((Bt, 1, 1, 8), erow(0), memory_space=pltpu.VMEM),   # ds at d
+        pl.BlockSpec((Bt, 1, 1, 8), erow(1), memory_space=pltpu.VMEM),   # ds at d+1
+        pl.BlockSpec((Bt, 1), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, S), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, tp_scalar.shape[1]), lambda b, t: (b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec((Bt, 1, 1, W), lambda b, t: (b, Dp - 1 - t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1, 1, 1), lambda b, t: (b, Dp - 1 - t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1, 1, W), lambda b, t: (b, Dp - 1 - t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1, 128), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((Bn, Dp, 1, W), jnp.float32),
+        jax.ShapeDtypeStruct((Bn, Dp, 1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Bn, Dp, 1, W), jnp.float32),
+        jax.ShapeDtypeStruct((Bn, 1, 128), jnp.float32),
+    )
+    return pl.pallas_call(
+        partial(_backward_kernel, plan, Bt, W, Dp, stages),
+        grid=(nb, Dp),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((Bt, S, W), jnp.float32),
+                        pltpu.VMEM((Bt, S, W), jnp.float32)],
+    )(E, E, E, F, F, F, diag_scalars, diag_scalars,
+      d_last.reshape(Bn, 1), end, tp_scalar)
