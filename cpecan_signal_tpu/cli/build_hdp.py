@@ -119,6 +119,8 @@ def compare_distributions_main(argv=None):
 
 
 def main(argv=None):
+    from ..utils.platform import ensure_host_platform
+    ensure_host_platform()
     ap = argparse.ArgumentParser(description="build/update nanopore HDPs")
     ap.add_argument("--buildHDP", "-U", action="store_true")
     ap.add_argument("--HdpType", "-p", type=int, default=0)

@@ -1,0 +1,232 @@
+"""Nucleotide realigner: the cPecanRealign equivalent.
+
+Reads exonerate CIGARs on stdin + fasta sequences, realigns each with the
+5-state pair HMM using the input alignment as anchors, and writes realigned
+CIGARs to stdout (cPecanRealign.c:382-675).  Also the jobTree-EM worker path
+via --outputExpectations.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..constants import PAIR_ALIGNMENT_PROB_1
+from ..core import amap
+from ..core.anchors import cigar_to_anchor_pairs, filter_to_remove_overlap
+from ..em.accumulators import DiscreteHmm
+from ..em.expectation_driver import discrete_expectations
+from ..engine.align import align_sequence_pair
+from ..io.cigar import CigarRecord, read_cigars
+from ..io.fasta import read_fasta, reverse_complement
+from ..models.params import AlignmentParams
+from ..models.state_machines import (bind_symbol_sequences, make_symbol_sm5)
+
+
+def load_sequences(paths: list[str]) -> dict[str, str]:
+    seqs: dict[str, str] = {}
+    for path in paths:
+        for name, seq in read_fasta(path):
+            if name in seqs and len(seq) <= len(seqs[name]):
+                continue
+            seqs[name] = seq
+    return seqs
+
+
+def get_sub_sequence(seq: str, start: int, end: int, strand: bool) -> str:
+    if strand:
+        return seq[start:end]
+    return reverse_complement(seq[end:start])
+
+
+def sm5_from_hmm(hmm: DiscreteHmm | None):
+    """StateMachine5 loaded from a trained discrete HMM (stateMachine5_load-
+    Symmetric, stateMachine.c:1100-1154) or defaults."""
+    if hmm is None:
+        return make_symbol_sm5()
+    t = hmm.transitions
+
+    def lg(v):
+        with np.errstate(divide="ignore"):
+            return float(np.log(v))
+
+    trans = {
+        "match_continue": lg(t[0, 0]),
+        "match_from_short_x": lg((t[1, 0] + t[2, 0]) / 2),
+        "match_from_long_x": lg((t[3, 0] + t[4, 0]) / 2),
+        "short_open_x": lg((t[0, 1] + t[0, 2]) / 2),
+        "short_extend_x": lg((t[1, 1] + t[2, 2]) / 2),
+        "short_switch_to_x": lg((t[1, 2] + t[2, 1]) / 2),
+        "long_open_x": lg((t[0, 3] + t[0, 4]) / 2),
+        "long_extend_x": lg((t[3, 3] + t[4, 4]) / 2),
+        "long_switch_to_x": lg((t[3, 4] + t[4, 3]) / 2),
+    }
+    # long/short swap guard (stateMachine.c:1132-1138)
+    if trans["short_extend_x"] > trans["long_extend_x"]:
+        for a, b in (("short_extend_x", "long_extend_x"),
+                     ("match_from_short_x", "match_from_long_x"),
+                     ("short_open_x", "long_open_x"),
+                     ("short_switch_to_x", "long_switch_to_x")):
+            trans[a], trans[b] = trans[b], trans[a]
+    for k in list(trans):
+        if k.endswith("_x"):
+            trans[k[:-2] + "_y"] = trans[k]
+    # symmetric emission load (emissions_em_loadMatchProbsSymmetrically + gap
+    # collapse, stateMachine.c:688-732)
+    with np.errstate(divide="ignore"):
+        e = hmm.emissions[0]
+        match4 = np.log((e + e.T) / 2.0)
+        gap = np.zeros(4)
+        for s in (1, 3):
+            gap += hmm.emissions[s].sum(axis=1)
+        for s in (2, 4):
+            gap += hmm.emissions[s].sum(axis=0)
+        gap4 = np.log(gap / gap.sum())
+    return make_symbol_sm5(trans, match4, gap4, gap4)
+
+
+def realign_record(rec: CigarRecord, seqs: dict[str, str],
+                   params: AlignmentParams, hmm: DiscreteHmm | None = None,
+                   match_gamma: float = 0.0, rescore: str | None = None,
+                   rescore_original: bool = False,
+                   split_indels_longer_than: int = -1,
+                   expectations: DiscreteHmm | None = None
+                   ) -> list[CigarRecord] | None:
+    seq_x = seqs[rec.contig1]
+    seq_y = seqs[rec.contig2]
+    flip1, flip2 = not rec.strand1, not rec.strand2
+    shift1 = rec.start1 if rec.strand1 else rec.end1
+    shift2 = rec.start2 if rec.strand2 else rec.end2
+    sub_x = get_sub_sequence(seq_x, rec.start1, rec.end1, rec.strand1)
+    sub_y = get_sub_sequence(seq_y, rec.start2, rec.end2, rec.strand2)
+
+    # rebased forward-strand record
+    s1, e1 = (rec.start1 - shift1, rec.end1 - shift1)
+    s2, e2 = (rec.start2 - shift2, rec.end2 - shift2)
+    if flip1:
+        s1, e1 = e1, s1
+    if flip2:
+        s2, e2 = e2, s2
+    anchors_all = cigar_to_anchor_pairs(s1, s2, rec.ops,
+                                        params.constraint_diagonal_trim)
+    # mismatch filter (cPecanRealign matchFn :268-272)
+    keep = [i for i, (x, y) in enumerate(anchors_all.tolist())
+            if sub_x[x].upper() == sub_y[y].upper() and sub_x[x].upper() != "N"]
+    anchors = anchors_all[keep] if len(keep) else anchors_all[:0]
+    anchors = filter_to_remove_overlap(anchors[np.lexsort(
+        (anchors[:, 1], anchors[:, 0]))]) if len(anchors) else anchors
+
+    def make_sm(sx, sy):
+        sm = sm5_from_hmm(hmm)
+        bind_symbol_sequences(sm, sx, sy)
+        return sm
+
+    if expectations is not None:
+        acc = discrete_expectations(make_sm, sub_x, sub_y, anchors, params,
+                                    ragged_left=True, ragged_right=True)
+        expectations.add(acc)
+        return None
+
+    aligned = align_sequence_pair(make_sm, sub_x, sub_y, anchors, params,
+                                  ragged_left=True, ragged_right=True)
+    pairs = np.stack([aligned.probs, aligned.x, aligned.y], axis=1) \
+        if len(aligned.probs) else np.zeros((0, 3), dtype=np.int64)
+
+    score = rec.score
+    if rescore_original:
+        # score the input anchors by the computed posteriors (scoreAnchorPairs)
+        pair_w = {(x, y): w for w, x, y in pairs.tolist()}
+        pairs = np.asarray([[pair_w.get((x, y), 0), x, y]
+                            for x, y in anchors_all.tolist()], dtype=np.int64
+                           ).reshape(-1, 3)
+    else:
+        pairs = amap.reweight_aligned_pairs(pairs, len(sub_x), len(sub_y),
+                                            params.gap_gamma)
+        pairs = amap.filter_pairs_to_ordered(pairs)
+        pairs = pairs[np.lexsort((pairs[:, 2], pairs[:, 1]))] if len(pairs) else pairs
+
+    if rescore == "posterior":
+        score = amap.score_by_posterior(pairs, len(sub_x), len(sub_y), False)
+    elif rescore == "posterior_ignoring_gaps":
+        score = amap.score_by_posterior(pairs, len(sub_x), len(sub_y), True)
+    elif rescore == "identity":
+        score = amap.score_by_identity(sub_x, sub_y, pairs, False)
+    elif rescore == "identity_ignoring_gaps":
+        score = amap.score_by_identity(sub_x, sub_y, pairs, True)
+
+    ops = amap.pairs_to_cigar_ops(pairs, len(sub_x), len(sub_y))
+    out = CigarRecord(rec.contig1, 0, e1 if not flip1 else s1, True,
+                      rec.contig2, 0, e2 if not flip2 else s2, True,
+                      score, ops)
+    # restore original coordinates/strands
+    def rebase(start, end, strand, shift, flip):
+        start += shift
+        end += shift
+        if flip:
+            return end, start, not strand
+        return start, end, strand
+
+    out.start1, out.end1, out.strand1 = rebase(0, len(sub_x), True, shift1, flip1)
+    out.start2, out.end2, out.strand2 = rebase(0, len(sub_y), True, shift2, flip2)
+    if split_indels_longer_than != -1:
+        return amap.split_long_indels(out, split_indels_longer_than)
+    return [out]
+
+
+def main(argv=None):
+    from ..utils.platform import ensure_host_platform
+    ensure_host_platform()
+    ap = argparse.ArgumentParser(description="nucleotide realigner (cPecanRealign equivalent)")
+    ap.add_argument("fastas", nargs="+")
+    ap.add_argument("--loadHmm", default=None)
+    ap.add_argument("--outputExpectations", default=None)
+    ap.add_argument("--gapGamma", type=float, default=0.5)
+    ap.add_argument("--matchGamma", type=float, default=0.0)
+    ap.add_argument("--diagonalExpansion", type=int, default=20)
+    ap.add_argument("--constraintDiagonalTrim", type=int, default=14)
+    ap.add_argument("--splitMatrixBiggerThanThis", type=int, default=3000)
+    ap.add_argument("--splitIndelsLongerThanThis", type=int, default=-1)
+    ap.add_argument("--rescoreOriginalAlignment", action="store_true")
+    ap.add_argument("--rescoreByIdentity", action="store_true")
+    ap.add_argument("--rescoreByIdentityIgnoringGaps", action="store_true")
+    ap.add_argument("--rescoreByPosteriorProb", action="store_true")
+    ap.add_argument("--rescoreByPosteriorProbIgnoringGaps", action="store_true")
+    args = ap.parse_args(argv)
+
+    params = AlignmentParams(
+        gap_gamma=args.gapGamma,
+        diagonal_expansion=args.diagonalExpansion,
+        constraint_diagonal_trim=args.constraintDiagonalTrim,
+        split_matrix_bigger_than_this=args.splitMatrixBiggerThanThis ** 2)
+    seqs = load_sequences(args.fastas)
+    hmm = DiscreteHmm.load(args.loadHmm) if args.loadHmm else None
+    rescore = None
+    if args.rescoreByPosteriorProb:
+        rescore = "posterior"
+    elif args.rescoreByPosteriorProbIgnoringGaps:
+        rescore = "posterior_ignoring_gaps"
+    elif args.rescoreByIdentity:
+        rescore = "identity"
+    elif args.rescoreByIdentityIgnoringGaps:
+        rescore = "identity_ignoring_gaps"
+
+    expectations = DiscreteHmm.empty(pseudocount=1e-12) \
+        if args.outputExpectations else None
+    for rec in read_cigars(sys.stdin):
+        out = realign_record(rec, seqs, params, hmm=hmm,
+                             match_gamma=args.matchGamma, rescore=rescore,
+                             rescore_original=args.rescoreOriginalAlignment,
+                             split_indels_longer_than=args.splitIndelsLongerThanThis,
+                             expectations=expectations)
+        if out:
+            for r in out:
+                print(r.to_line())
+    if expectations is not None:
+        expectations.write(args.outputExpectations)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -136,6 +136,8 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
 
 
 def main(argv=None):
+    from ..utils.platform import ensure_host_platform
+    ensure_host_platform()
     ap = argparse.ArgumentParser(description="EM training (trainModels equivalent)")
     ap.add_argument("--ref", "-r", required=True)
     ap.add_argument("--npReads", "-d", required=True,

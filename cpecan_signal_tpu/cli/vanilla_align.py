@@ -237,6 +237,8 @@ def align_read(ref_seq: str, contig: str, npread: NanoporeRead,
 
 
 def main(argv=None):
+    from ..utils.platform import ensure_host_platform
+    ensure_host_platform()
     ap = argparse.ArgumentParser(description="signal alignment (vanillaAlign equivalent)")
     ap.add_argument("--reference", "-r", required=True)
     ap.add_argument("--npRead", "-q", required=True)

@@ -167,7 +167,7 @@ def stack_problems(probs: list[SM3PallasProblem]) -> SM3PallasProblem:
 
 
 def run_sm3_pallas(plan: fb.EnginePlan, W: int, batch: SM3PallasProblem,
-                   Bt: int = 8, stages: int = 3):
+                   Bt: int = 8, stages: int = 4):
     """Pipeline body: emissions -> forward -> fused backward."""
     Dp = batch.diag_scalars.shape[1] - 1
     E = pk.emissions_sm3(batch.x0, batch.yr0, batch.xarr, batch.evr, W, Dp)

@@ -235,18 +235,29 @@ def forward_sm3(plan: EnginePlan, E, diag_scalars, d_last, start, tp_scalar,
 # ---------------------------------------------------------------------------
 
 def _lse_rows(v):
-    """logsumexp over (S, W) per problem row: v (Bt, S, W) -> (Bt, 1)."""
-    m = jnp.max(v, axis=(1, 2), keepdims=True)
-    s = jnp.sum(jnp.exp(v - m), axis=(1, 2), keepdims=True)
-    out = m + jnp.log(jnp.maximum(s, 1e-38))
-    return jnp.where(m <= NEG_INF, NEG_INF, out)[:, :, 0]
+    """logsumexp over (S, W) per problem row: v (Bt, S, W) -> (Bt, 1).
+
+    Implemented with rank-2 intermediates only (unrolled over the small S
+    axis + one lane reduction) — (Bt, 1, 1)-shaped float reductions crash the
+    Mosaic layout pass on this toolchain."""
+    S = v.shape[1]
+    m_l = v[:, 0, :]
+    for si in range(1, S):
+        m_l = jnp.maximum(m_l, v[:, si, :])
+    m = jnp.max(m_l, axis=1, keepdims=True)          # (Bt, 1)
+    sum_l = jnp.zeros_like(m_l)
+    for si in range(S):
+        sum_l = sum_l + jnp.exp(v[:, si, :] - m)
+    ssum = jnp.sum(sum_l, axis=1, keepdims=True)     # (Bt, 1)
+    out = m + jnp.log(jnp.maximum(ssum, 1e-38))
+    return jnp.where(m <= NEG_INF, NEG_INF, out)
 
 
 def _backward_kernel(plan, Bt, W, Dp, stages,
                      E_d_ref, E_d1_ref, E_d2_ref, F_d_ref, F_dm1_ref, F_dm2_ref,
                      ds_ref, ds1_ref, dlast_ref, end_ref, tps_ref,
                      p_ref, tot_ref, pgx_ref, stats_ref,
-                     b1, b2):
+                     b1, b2, stats_acc):
     S = plan.n_states
     t = pl.program_id(1)
     d = Dp - 1 - t
@@ -270,7 +281,7 @@ def _backward_kernel(plan, Bt, W, Dp, stages,
     def _():
         b1[:] = jnp.full((Bt, S, W), NEG_INF, jnp.float32)
         b2[:] = jnp.full((Bt, S, W), NEG_INF, jnp.float32)
-        stats_ref[...] = jnp.zeros_like(stats_ref)
+        stats_acc[...] = jnp.zeros_like(stats_acc)
 
     E_d = E_d_ref[:, 0]
     E_d1 = E_d1_ref[:, 0]
@@ -324,7 +335,7 @@ def _backward_kernel(plan, Bt, W, Dp, stages,
         tot_ref[:, 0, 0, :] = total
 
     # --- posterior match probabilities ---
-    if stages >= 2:
+    if stages >= 3:
         m = plan.match_state
         x_pos = xmy > -d   # x > 0
         y_pos = xmy < d    # y > 0
@@ -337,7 +348,7 @@ def _backward_kernel(plan, Bt, W, Dp, stages,
     # --- EM tallies: per-edge posterior sums + likelihood, accumulated as
     # lane-masked adds into the (Bt, 1, 128) stats block (lane e = edge e's
     # transition tally; lane 64 = likelihood) ---
-    if stages >= 3:
+    if stages >= 4:
         sfL = col(DS_FL)
         sfM = col(DS_FM)
         srcL = _shift(F_dm1, sfL)
@@ -345,23 +356,28 @@ def _backward_kernel(plan, Bt, W, Dp, stages,
         srcM = _shift(F_dm2, sfM)
         srcs = (srcL, srcM, srcU)
         em_ok = (valid[:, 0, :]) & (d >= 1)
-        stats_lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, 1, 128), 2)
-        add = jnp.zeros((Bt, 1, 128), jnp.float32)
+        stats_lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, 128), 1)
+        add = jnp.zeros((Bt, 128), jnp.float32)
         pgx = jnp.zeros((Bt, W), jnp.float32)
         for ei, e in enumerate(plan.edges):
             logp = (srcs[e.src][:, e.frm, :] + cur[:, e.to, :]
                     + E_d[:, e.eclass, :] + tp_of(e) - total)
             pe = jnp.where(em_ok, jnp.exp(jnp.minimum(logp, 0.0)), 0.0)
             pe_sum = jnp.sum(pe, axis=1, keepdims=True)   # (Bt, 1)
-            add = add + jnp.where(stats_lane == ei, pe_sum[:, :, None], 0.0)
+            add = add + jnp.where(stats_lane == ei, pe_sum, 0.0)
             if e.to == SHORT_GAP_X:
                 pgx = pgx + pe
         lik_d = jnp.where((d >= 1) & (d <= dlast[:, :, 0]), total, 0.0)
-        add = add + jnp.where(stats_lane == LIK_LANE, lik_d[:, :, None], 0.0)
-        stats_ref[...] += add
+        add = add + jnp.where(stats_lane == LIK_LANE, lik_d, 0.0)
+        stats_acc[...] += add
         pgx_ref[:, 0, 0] = pgx
     else:
         pgx_ref[:, 0, 0] = jnp.zeros((Bt, W), jnp.float32)
+
+    # flush the scratch accumulator into the (write-once) output at the end
+    @pl.when(t == Dp - 1)
+    def _():
+        stats_ref[:, 0, :] = stats_acc[...]
 
     # rotate carries
     b2[:] = b1[:]
@@ -369,7 +385,7 @@ def _backward_kernel(plan, Bt, W, Dp, stages,
 
 
 def backward_sm3(plan: EnginePlan, E, F, diag_scalars, d_last, end, tp_scalar,
-                 Bt: int = 8, stages: int = 3):
+                 Bt: int = 8, stages: int = 4):
     """Fused backward pass.  Returns (p (B,Dp,1,W), totals (B,Dp,1,1),
     pgapx (B,Dp,1,W), stats (B,1,128): lane e = edge-e transition tally,
     lane LIK_LANE = likelihood).  ``stages`` gates debug subsets (1 = bare
@@ -422,6 +438,7 @@ def backward_sm3(plan: EnginePlan, E, F, diag_scalars, d_last, end, tp_scalar,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((Bt, S, W), jnp.float32),
-                        pltpu.VMEM((Bt, S, W), jnp.float32)],
+                        pltpu.VMEM((Bt, S, W), jnp.float32),
+                        pltpu.VMEM((Bt, 128), jnp.float32)],
     )(E, E, E, F, F, F, diag_scalars, diag_scalars,
       d_last.reshape(Bn, 1), end, tp_scalar)
