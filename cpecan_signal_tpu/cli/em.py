@@ -1,0 +1,188 @@
+"""Distributed nucleotide-HMM EM: the cPecanEm equivalent.
+
+The reference fans ≤1 Mb alignment chunks out as jobTree targets running
+cPecanRealign --outputExpectations, with a follow-on merge + normalize
+(cPecanEm.py:107-242).  Here the same structure runs as chunked batches in
+process (the scheduler role is played by the chunk loop; multi-host scale-out
+goes through parallel/mesh instead of a cluster DAG), with random-restart
+trials selecting the maximum-likelihood model.
+
+Also provides the Hmm utility surface (randomise / equalise / Jukes-Cantor
+init / tied emissions, cPecanEm.py:19-105) on DiscreteHmm, and the lastz
+scoring-matrix export (makeBlastScoringMatrix, cPecanEm.py:301-359).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+from itertools import product
+
+import numpy as np
+
+from ..em.accumulators import DiscreteHmm
+from ..io.cigar import CigarRecord, read_cigars
+from ..models.params import AlignmentParams
+
+SYMBOL_NUMBER = 4
+
+
+def set_jukes_cantor(hmm: DiscreteHmm, divergence: float) -> None:
+    i = (0.25 + 0.75 * math.exp(-4.0 * divergence / 3.0)) / 4.0
+    j = (0.25 - 0.25 * math.exp(-4.0 * divergence / 3.0)) / 4.0
+    for s in range(hmm.state_number):
+        hmm.emissions[s] = np.where(np.eye(SYMBOL_NUMBER, dtype=bool), i, j)
+
+
+def tie_emissions(hmm: DiscreteHmm) -> None:
+    """Collapse emissions to overall identity vs non-identity
+    (Hmm.tieEmissions, cPecanEm.py:98-105)."""
+    for s in range(hmm.state_number):
+        e = hmm.emissions[s]
+        ident = np.trace(e)
+        off = (1.0 - ident) / (SYMBOL_NUMBER**2 - SYMBOL_NUMBER)
+        hmm.emissions[s] = np.where(np.eye(SYMBOL_NUMBER, dtype=bool),
+                                    ident / SYMBOL_NUMBER, off)
+
+
+def chunk_alignments(records: list[CigarRecord], max_bases: int = 1_000_000
+                     ) -> list[list[CigarRecord]]:
+    """≤1 Mb alignment chunks (the jobTree target granularity,
+    cPecanEm.py:128-158)."""
+    chunks: list[list[CigarRecord]] = [[]]
+    size = 0
+    for rec in records:
+        n = abs(rec.end1 - rec.start1)
+        if size + n > max_bases and chunks[-1]:
+            chunks.append([])
+            size = 0
+        chunks[-1].append(rec)
+        size += n
+    return [c for c in chunks if c]
+
+
+def expectation_maximisation(alignment_file: str, fasta_files: list[str],
+                             output_model: str, iterations: int = 10,
+                             trials: int = 1, max_bases_per_chunk: int = 1_000_000,
+                             set_jukes_cantor_divergence: float | None = None,
+                             tie_emission_params: bool = False,
+                             params: AlignmentParams | None = None,
+                             update_band: bool = False, seed: int = 0,
+                             log=print) -> DiscreteHmm:
+    """Random-restart EM over a cigar alignment set; returns (and writes) the
+    maximum-likelihood model (expectationMaximisation + ...Trials,
+    cPecanEm.py:107-242)."""
+    from .realign import load_sequences, realign_record
+
+    params = params or AlignmentParams()
+    seqs = load_sequences(fasta_files)
+    with open(alignment_file) as fh:
+        records = list(read_cigars(fh))
+    chunks = chunk_alignments(records, max_bases_per_chunk)
+    log(f"em - {len(records)} alignments in {len(chunks)} chunks")
+
+    rng = np.random.default_rng(seed)
+    best: DiscreteHmm | None = None
+    for trial in range(trials):
+        hmm = DiscreteHmm.empty(5, SYMBOL_NUMBER)
+        hmm.randomize(rng)
+        if set_jukes_cantor_divergence is not None:
+            set_jukes_cantor(hmm, set_jukes_cantor_divergence)
+        running = []
+        for it in range(iterations):
+            acc = DiscreteHmm.empty(5, SYMBOL_NUMBER, pseudocount=1e-12)
+            for chunk in chunks:
+                for rec in chunk:
+                    realign_record(rec, seqs, params, hmm=hmm,
+                                   expectations=acc)
+            acc.normalize()
+            if tie_emission_params:
+                tie_emissions(acc)
+            running.append(acc.likelihood)
+            log(f"em - trial {trial} iteration {it}: likelihood {acc.likelihood:.2f}")
+            hmm = acc
+        hmm.running_likelihoods = running
+        if best is None or hmm.likelihood > best.likelihood:
+            best = hmm
+    best.write(output_model)
+    return best
+
+
+def make_blast_scoring_matrix(hmm: DiscreteHmm, sequences: list[str]):
+    """lastz-style scoring matrix from a trained HMM (makeBlastScoringMatrix,
+    cPecanEm.py:301-339)."""
+    t = hmm.transitions
+    e = hmm.emissions
+    # collapse to three states
+    t3 = np.zeros((3, 3))
+    t3[:] = t[:3, :3]
+    row = t3.sum(axis=1, keepdims=True)
+    t3 = t3 / row
+    match_e = e[0] / e[0].sum()
+
+    gc = sum(sum(1.0 for c in s if c in "GC") for s in sequences) / \
+        max(sum(len(s) for s in sequences), 1)
+
+    def base_prob(x):
+        return gc / 2.0 if x in (1, 2) else (1.0 - gc) / 2.0
+
+    match_probs = [match_e[x, y] / (base_prob(x) * base_prob(y))
+                   for x, y in product(range(4), range(4))]
+    match_continue = t3[0, 0]
+    n_prob = math.sqrt(math.exp(
+        (6.94 + sum(math.log(x * match_continue) for x in match_probs))
+        / len(match_probs)))
+    weight = 100
+    match_scores = [weight * math.log(x * match_continue / n_prob**2)
+                    for x in match_probs]
+    gap_open = weight * math.log(
+        (0.5 * (t3[0, 1] / n_prob + t3[0, 2] / n_prob))
+        * ((t3[1, 0] + t3[2, 0]) / (2 * n_prob**2))
+        * (n_prob**2 / match_continue))
+    gap_extend = weight * math.log(0.5 * (t3[1, 1] / n_prob + t3[2, 2] / n_prob))
+    return match_scores, gap_open, gap_extend
+
+
+def write_lastz_scoring_matrix(fh, match_scores, gap_open, gap_extend) -> None:
+    fh.write(f"gap_open_penalty = {int(round(-gap_open))}\n")
+    fh.write(f"gap_extend_penalty = {int(round(-gap_extend))}\n")
+    bases = "ACGT"
+    fh.write("\t\t" + "\t".join(bases) + "\n")
+    for x in range(4):
+        row = "\t".join(str(int(round(v)))
+                        for v in match_scores[x * 4:(x + 1) * 4])
+        fh.write(f"\t{bases[x]}\t{row}\n")
+
+
+def main(argv=None):
+    from ..utils.platform import ensure_host_platform
+    ensure_host_platform()
+    ap = argparse.ArgumentParser(description="nucleotide HMM EM (cPecanEm equivalent)")
+    ap.add_argument("--alignments", required=True)
+    ap.add_argument("--fastas", nargs="+", required=True)
+    ap.add_argument("--outputModel", required=True)
+    ap.add_argument("--iterations", type=int, default=10)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--maxAlignmentLengthPerJob", type=int, default=1_000_000)
+    ap.add_argument("--setJukesCantorStartingEmissions", type=float, default=None)
+    ap.add_argument("--tieEmissions", action="store_true")
+    ap.add_argument("--blastScoringMatrixFile", default=None)
+    args = ap.parse_args(argv)
+
+    hmm = expectation_maximisation(
+        args.alignments, args.fastas, args.outputModel,
+        iterations=args.iterations, trials=args.trials,
+        max_bases_per_chunk=args.maxAlignmentLengthPerJob,
+        set_jukes_cantor_divergence=args.setJukesCantorStartingEmissions,
+        tie_emission_params=args.tieEmissions)
+    if args.blastScoringMatrixFile:
+        from .realign import load_sequences
+        seqs = list(load_sequences(args.fastas).values())
+        with open(args.blastScoringMatrixFile, "w") as fh:
+            write_lastz_scoring_matrix(fh, *make_blast_scoring_matrix(hmm, seqs))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
