@@ -138,6 +138,10 @@ def make_sm_factory(sm_type: str, pore: PoreModel, strand: str,
     if sm_type == "threeStateHdp":
         from ..models.state_machines import make_signal_sm3_hdp
         return lambda t, e: make_signal_sm3_hdp(hdp_density, t, e, transitions)
+    if sm_type == "echelon":
+        from ..models.state_machines import make_signal_echelon
+        sname = "template" if strand == "t" else "complement"
+        return lambda t, e: make_signal_echelon(pore, t, e, sname, skip_bins)
     raise ValueError(f"unsupported state machine type {sm_type}")
 
 
@@ -224,7 +228,8 @@ def align_read(ref_seq: str, contig: str, npread: NanoporeRead,
         pairs = align_events_to_target(make_sm, target, strand_events,
                                        strand_anchors, params,
                                        ragged_left=True, ragged_right=True,
-                                       dtype=dtype)
+                                       dtype=dtype,
+                                       multi_match=(sm_type == "echelon"))
         results[strand] = pairs
         if out_fh is not None:
             write_posterior_probs(out_fh, read_label, contig,
@@ -248,6 +253,7 @@ def main(argv=None):
     ap.add_argument("--readLabel", "-L", default="read")
     ap.add_argument("--strawMan", "-s", action="store_true")
     ap.add_argument("--fourState", "-f", action="store_true")
+    ap.add_argument("--echelon", "-e", action="store_true")
     ap.add_argument("--substitute", "-M", default=None)
     ap.add_argument("--threshold", "-D", type=float, default=0.01)
     ap.add_argument("--diagonalExpansion", "-x", type=int, default=50)
@@ -255,7 +261,9 @@ def main(argv=None):
     ap.add_argument("--cigar", default=None, help="guide alignment cigar file (else built-in anchorer)")
     args = ap.parse_args(argv)
 
-    sm_type = "threeState" if args.strawMan else ("fourState" if args.fourState else "vanilla")
+    sm_type = ("threeState" if args.strawMan else
+               "fourState" if args.fourState else
+               "echelon" if args.echelon else "vanilla")
     contig, ref_seq = read_first_sequence(args.reference)
     npread = load_npread(args.npRead)
     tmodel = load_pore_model(args.templateModel)

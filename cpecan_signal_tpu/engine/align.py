@@ -62,12 +62,14 @@ def align_events_to_target(
     ragged_right: bool = True,
     dtype=None,
     total_mode: str = "per_diagonal",
+    multi_match: bool = False,
 ) -> AlignedPairs:
     """Align an event sequence to a nucleotide target with anchor banding.
 
     make_sm(target_subseq, events_subarray) builds the state machine for one
     split (splits re-slice the raw sequences exactly like sequence_sliceFcn,
-    pairwiseAligner.c:1383-1384).
+    pairwiseAligner.c:1383-1384).  multi_match selects the echelon multi-state
+    posterior extraction (diagonalCalculationMultiPosteriorMatchProbs).
     """
     import jax.numpy as jnp
 
@@ -92,9 +94,17 @@ def align_events_to_target(
             dtype=dtype)
         F = fb.forward(plan, inp)
         B = fb.backward(plan, inp)
-        p_grid, _totals = fb.posterior_match_probs(plan, inp, F, B, total_mode)
-        probs, xs, ys = _extract_pairs(np.asarray(p_grid), np.asarray(inp.x),
-                                       np.asarray(inp.y), params.threshold, x1, y1)
+        if multi_match:
+            p_states, _ = fb.posterior_multi_match_probs(plan, inp, F, B)
+            probs, xs, ys = fb.extract_multi_pairs(
+                np.asarray(p_states), np.asarray(inp.x), np.asarray(inp.y),
+                params.threshold)
+            xs = xs + x1
+            ys = ys + y1
+        else:
+            p_grid, _totals = fb.posterior_match_probs(plan, inp, F, B, total_mode)
+            probs, xs, ys = _extract_pairs(np.asarray(p_grid), np.asarray(inp.x),
+                                           np.asarray(inp.y), params.threshold, x1, y1)
         all_probs.append(probs)
         all_x.append(xs)
         all_y.append(ys)

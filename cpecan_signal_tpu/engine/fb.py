@@ -361,3 +361,45 @@ def posterior_match_probs_impl(plan: EnginePlan, inp: EngineInputs, F, B,
 
 
 posterior_match_probs = jax.jit(posterior_match_probs_impl, static_argnums=(0, 4))
+
+
+def posterior_multi_match_probs_impl(plan: EnginePlan, inp: EngineInputs, F, B,
+                                     n_match_states: int = 6):
+    """Echelon posterior extraction (diagonalCalculationMultiPosteriorMatch-
+    Probs, pairwiseAligner.c:797-839): per-cell posteriors for every match
+    state s in [match_state, n_match_states); state s contributes pairs
+    (x+n-1, y-1) for n in 0..s-1 on the host side."""
+    totals = diagonal_totals_impl(plan, inp, F, B)
+    ss = list(range(plan.match_state, n_match_states))
+    logp = jnp.stack([F[:, :, s] + B[:, :, s] for s in ss], axis=0)
+    p = jnp.exp(logp - totals[None, :, None])
+    ok = inp.valid & (inp.x > 0) & (inp.y > 0)
+    p = jnp.where(ok[None], jnp.minimum(p, 1.0), 0.0)
+    return p, totals
+
+
+posterior_multi_match_probs = jax.jit(posterior_multi_match_probs_impl,
+                                      static_argnums=(0, 4))
+
+
+def extract_multi_pairs(p_states: np.ndarray, x: np.ndarray, y: np.ndarray,
+                        threshold: float, match_state: int = 1):
+    """Host-side pair emission for the multi-state posteriors."""
+    from ..constants import PAIR_ALIGNMENT_PROB_1
+    probs, xs, ys = [], [], []
+    for si in range(p_states.shape[0]):
+        s = match_state + si
+        mask = p_states[si] >= threshold
+        if not mask.any():
+            continue
+        pq = np.floor(p_states[si][mask] * PAIR_ALIGNMENT_PROB_1).astype(np.int64)
+        cx = x[mask].astype(np.int64)
+        cy = y[mask].astype(np.int64)
+        for n in range(s):
+            probs.append(pq)
+            xs.append(cx + n - 1)
+            ys.append(cy - 1)
+    if not probs:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    return (np.concatenate(probs), np.concatenate(xs), np.concatenate(ys))

@@ -27,7 +27,7 @@ from typing import Callable
 
 import numpy as np
 
-from ..constants import KMER_SENTINEL, LOG_ZERO, NUM_OF_KMERS
+from ..constants import KMER_LENGTH, KMER_SENTINEL, LOG_ZERO, NUM_OF_KMERS
 from ..core import kmers as kmerlib
 from .pore_model import (LEVEL_MEAN, LEVEL_SD, NOISE_LAMBDA, NOISE_MEAN,
                          NOISE_SD, PoreModel, skip_bin_indices)
@@ -545,5 +545,142 @@ def make_signal_sm3_hdp(density_logp: Callable[[np.ndarray, np.ndarray], np.ndar
     sm = StateMachine(SM3_HDP_SPEC, {k: TV("s", v) for k, v in t.items()},
                       start, ragged_start, end, ragged_end, emissions)
     sm.kmer_ranks = ranks
+    sm.event_means = events[:, 0]
+    return sm
+
+
+# ---------------------------------------------------------------------------
+# Echelon machine: 7 states, events may emit 1..5 kmers
+# ---------------------------------------------------------------------------
+# States (stateMachine.c SignalState enum :1164-1166): match0 (extra event),
+# match1..match5 (event emits n kmers), gapX = 6.  matchState = match1.
+ECH_GAPX = 6
+_ECH_ZERO, _ECH_M1, _ECH_M2, _ECH_M3, _ECH_M4, _ECH_M5, _ECH_SCALED = range(7)
+
+_ECHELON_EDGES = tuple(
+    [Edge(SRC_LOWER, n, ECH_GAPX, _ECH_ZERO, ("la_mx",)) for n in range(1, 6)]
+    + [Edge(SRC_LOWER, ECH_GAPX, ECH_GAPX, _ECH_ZERO, ("la_xx",))]
+    + [Edge(SRC_MIDDLE, frm, n, n, ("la_mh", f"dur{n}"))
+       for n in range(1, 6) for frm in range(6)]
+    + [Edge(SRC_MIDDLE, ECH_GAPX, n, n, ("la_xh", f"dur{n}")) for n in range(1, 6)]
+    + [Edge(SRC_UPPER, n, 0, _ECH_SCALED, ("la_mh", "dur0")) for n in range(1, 6)]
+)
+
+ECHELON_SPEC = SMSpec("echelon", 7, 1, 7, _ECHELON_EDGES)
+
+# End-state values as in the reference (stateMachineEchelon_construct,
+# stateMachine.c:1617-1620 — the comment notes they are not in log space; the
+# literal behavior is reproduced).
+ECHELON_END_MATCH = 0.79015888282447311
+ECHELON_END_FROM_X = 0.19652425498269727
+
+
+def _poisson_posterior_np(n: int, durations: np.ndarray) -> np.ndarray:
+    """emissions_signal_poissonPosteriorProb (stateMachine.c:345-370)."""
+    c = 0.00332005312085
+    l_beta = 0.1397619423751586
+    l_factorials = [0.0, 0.0, 0.69314718056, 1.79175946923, 3.17805383035,
+                    4.78749174278]
+    lam = durations / c
+    safe = np.where(lam <= 0, 1.0, lam)
+    lp = (n + 1) * l_beta + n * np.log(safe) - l_factorials[n] - 2.0 * lam
+    return np.where(lam <= 0, LOG_ZERO, lp)
+
+
+def make_signal_echelon(pore: PoreModel, target_seq: str, events: np.ndarray,
+                        strand: str = "template",
+                        skip_bins: np.ndarray | None = None) -> StateMachine:
+    """Echelon machine (stateMachineEchelon, stateMachine.c:1411-1460,
+    1602-1642): an event may emit n = 1..5 consecutive k-mers; transitions mix
+    per-x skip-bin probabilities with per-y Poisson duration posteriors.  The
+    target is 'n'-padded (sequence_padSequence, pairwiseAligner.c:282-285) so
+    multi-kmer emissions past the end go to LOG_ZERO via the uppercase check
+    (emissions_signal_multipleKmerMatchProb, stateMachine.c:530-549)."""
+    bins = pore.skip_bins if skip_bins is None else skip_bins
+    padded = target_seq + "n" * 30
+    lX = len(target_seq) - KMER_LENGTH + 1
+
+    km1, ki = kmerlib.trailing_pair_ranks(target_seq)
+    bin_idx = skip_bin_indices(km1, ki, pore.match_model)
+    beta = bins[bin_idx]
+    alpha = bins[bin_idx + 30]
+    with np.errstate(divide="ignore"):
+        la_mx = np.log(beta)
+        la_xx = np.log(alpha)
+        la_mh = np.log(1.0 - beta)
+        la_xh = np.log(1.0 - alpha)
+
+    # per-y duration posteriors (slot 0 <-> y = -1)
+    dur = np.zeros((6, len(events) + 1))
+    for n in range(6):
+        dur[n, 1:] = _poisson_posterior_np(n, events[:, 2])
+        dur[n, 0] = LOG_ZERO
+
+    # trailing-convention rank arrays at offsets 0..4 from the getKmer2
+    # pointer, over the 'n'-padded sequence; plus the uppercase check at
+    # offset KMER_LENGTH * n from the pointer.
+    base_padded = kmerlib.sequence_kmer_ranks(padded)
+    codes = kmerlib.base_codes(padded)
+
+    def ranks_at_offset(off: int) -> np.ndarray:
+        # DP slot j <-> x_idx = j - 1; pointer p = max(x_idx - 1, 0) -> wait:
+        # getKmer2 pointer = elements[i - 1] for i > 0 else elements[0]
+        out = np.full(lX + 1, KMER_SENTINEL, dtype=np.int32)
+        for j in range(lX + 1):
+            i = j - 1
+            p = i - 1 if i > 0 else 0
+            idx = p + off
+            if 0 <= idx < len(base_padded):
+                out[j] = base_padded[idx]
+        return out
+
+    rank_off = np.stack([ranks_at_offset(o) for o in range(5)])
+    ok_n = np.zeros((6, lX + 1), dtype=bool)
+    for n in range(1, 6):
+        for j in range(lX + 1):
+            i = j - 1
+            p = i - 1 if i > 0 else 0
+            idx = p + KMER_LENGTH * n
+            ok_n[n, j] = idx < len(codes) and codes[idx] >= 0  # uppercase ACGT
+
+    ev = np.concatenate([np.zeros((1, events.shape[1])), events], axis=0)
+    match_table, y_table = pore.match_model, pore.y_model
+    ki_padded = np.full(lX + 1, KMER_SENTINEL, dtype=np.int32)
+    ki_padded[:len(ki)] = ki
+
+    def emissions(x_idx, y_idx):
+        j = x_idx + 1
+        means = ev[y_idx + 1, 0]
+        noises = ev[y_idx + 1, 1]
+        shape = np.broadcast(x_idx, y_idx).shape
+        e = np.zeros(shape + (7,), dtype=np.float64)
+        # classes 1..5: logAdd of the n single-kmer two-dist probs - log n
+        per_off = np.stack([
+            _two_dist_mixed_logp(match_table, rank_off[o][j], means, noises)
+            for o in range(5)])
+        running = np.full(shape, LOG_ZERO)
+        for n in range(1, 6):
+            running = np.logaddexp(running, per_off[n - 1])
+            e[..., n] = np.where(ok_n[n][j], running - np.log(n), LOG_ZERO)
+        e[..., _ECH_SCALED] = _two_dist_mixed_logp(y_table, ki_padded[j], means,
+                                                   noises)
+        return e
+
+    start = np.full(7, LOG_ZERO)
+    start[1] = 0.0
+    ragged_start = np.full(7, LOG_ZERO)
+    ragged_start[ECH_GAPX] = 0.0
+    end = np.full(7, ECHELON_END_MATCH)
+    end[ECH_GAPX] = ECHELON_END_FROM_X
+    ragged_end = end.copy()
+
+    tvals = {"la_mx": TV("x", la_mx), "la_xx": TV("x", la_xx),
+             "la_mh": TV("x", la_mh), "la_xh": TV("x", la_xh)}
+    for n in range(6):
+        tvals[f"dur{n}"] = TV("y", dur[n])
+    sm = StateMachine(ECHELON_SPEC, tvals, start, ragged_start, end, ragged_end,
+                      emissions)
+    sm.kmer_ranks = ki_padded
+    sm.skip_bin_idx = bin_idx
     sm.event_means = events[:, 0]
     return sm
