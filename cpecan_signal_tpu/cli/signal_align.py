@@ -1,0 +1,152 @@
+"""Multi-read alignment driver: the signalAlign.py equivalent.
+
+Enumerates fast5 / npRead files (shuffled, capped at --nb_files), aligns each
+read's template and complement strands against the reference and appends the
+15-column posterior TSV (signalAlign.py:54-146).  The reference distributes
+reads over a multiprocessing worker pool; here reads run in-process by default
+(--jobs N restores process-level data parallelism), and chip-level batching
+goes through parallel/mesh + the window/pallas engines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import random
+import sys
+
+from ..models.params import cli_defaults
+from ..models.pore_model import load_pore_model
+from ..io.fasta import read_first_sequence
+
+
+class TargetRegions:
+    """BED-ish region filter (TargetRegions, nanoporeLib.py:246-270)."""
+
+    def __init__(self, path: str):
+        self.regions = []
+        with open(path) as fh:
+            for line in fh:
+                f = line.split()
+                if len(f) >= 2:
+                    self.regions.append((int(f[0]), int(f[1])))
+
+    def hits(self, start: int, end: int) -> bool:
+        return any(s <= end and start <= e for s, e in self.regions)
+
+
+def _align_one(args):
+    (path, ref_seq, contig, tmodel_path, cmodel_path, params, sm_type,
+     out_tsv, substitute, regions_path) = args
+    import jax
+    from ..utils.platform import ensure_host_platform
+    ensure_host_platform()
+    from ..io.npread import load_npread
+    from ..models.pore_model import load_pore_model
+    from .vanilla_align import align_read, guide_alignment
+
+    label = os.path.basename(path)
+    try:
+        if path.endswith(".fast5"):
+            from ..io.fast5 import fast5_to_npread
+            npread = fast5_to_npread(path)
+        else:
+            npread = load_npread(path)
+    except Exception as exc:  # unreadable/malformed reads are skipped
+        return (label, f"error: {exc}")
+
+    guide = guide_alignment(ref_seq, npread.twoD_read,
+                            params.constraint_diagonal_trim)
+    if guide is None:
+        return (label, "unmapped")
+    if regions_path is not None:
+        regions = TargetRegions(regions_path)
+        lo, hi = sorted((guide.start1, guide.end1))
+        if not regions.hits(lo, hi):
+            return (label, "outside target regions")
+
+    tmodel = load_pore_model(tmodel_path)
+    cmodel = load_pore_model(cmodel_path)
+    out_fh = open(out_tsv, "a") if out_tsv else None
+    try:
+        res = align_read(ref_seq, contig, npread, tmodel, cmodel, params,
+                         sm_type=sm_type, guide=guide, substitute=substitute,
+                         read_label=label, out_fh=out_fh)
+    finally:
+        if out_fh:
+            out_fh.close()
+    if res["status"] != "ok":
+        return (label, res["status"])
+    t, c = res["t"], res["c"]
+    return (label, f"{res['n_anchors']} anchors, "
+                   f"t {len(t.probs)}({t.score:.2f}) c {len(c.probs)}({c.score:.2f})")
+
+
+def main(argv=None):
+    from ..utils.platform import ensure_host_platform
+    ensure_host_platform()
+    ap = argparse.ArgumentParser(description="align many reads (signalAlign equivalent)")
+    ap.add_argument("--file_directory", "-d", required=True,
+                    help="directory of .fast5 or .npRead files (or a glob)")
+    ap.add_argument("--ref", "-r", required=True)
+    ap.add_argument("--output_location", "-o", required=True)
+    ap.add_argument("--templateModel", "-T",
+                    default="/root/reference/models/template_median68pA.model")
+    ap.add_argument("--complementModel", "-C",
+                    default="/root/reference/models/complement_median68pA_pop2.model")
+    ap.add_argument("--strawMan", "-s", action="store_true")
+    ap.add_argument("--fourState", action="store_true")
+    ap.add_argument("--echelon", action="store_true")
+    ap.add_argument("--nb_files", "-n", type=int, default=500)
+    ap.add_argument("--jobs", "-j", type=int, default=1)
+    ap.add_argument("--threshold", "-t", type=float, default=0.01)
+    ap.add_argument("--diagonalExpansion", "-e", type=int, default=50)
+    ap.add_argument("--constraintTrim", "-m", type=int, default=14)
+    ap.add_argument("--targetRegions", "-q", default=None)
+    ap.add_argument("--un_banded", "-ub", action="store_true")
+    ap.add_argument("--substitute", "-M", default=None)
+    args = ap.parse_args(argv)
+
+    sm_type = ("threeState" if args.strawMan else
+               "fourState" if args.fourState else
+               "echelon" if args.echelon else "vanilla")
+    contig, ref_seq = read_first_sequence(args.ref)
+    params = cli_defaults().with_(
+        threshold=args.threshold, diagonal_expansion=args.diagonalExpansion,
+        constraint_diagonal_trim=args.constraintTrim)
+    if args.un_banded:
+        params = params.with_(diagonal_expansion=2, anchor_matrix_bigger_than_this=1 << 62)
+
+    if os.path.isdir(args.file_directory):
+        paths = sorted(glob.glob(os.path.join(args.file_directory, "*.fast5"))
+                       + glob.glob(os.path.join(args.file_directory, "*.npRead")))
+    else:
+        paths = sorted(glob.glob(args.file_directory))
+    random.shuffle(paths)  # signalAlign.py:92 shuffles before capping
+    paths = paths[:args.nb_files]
+    if not paths:
+        print("signal_align - no input files", file=sys.stderr)
+        return 1
+
+    os.makedirs(args.output_location, exist_ok=True)
+    out_tsv = os.path.join(args.output_location, "posteriors.tsv")
+    work = [(p, ref_seq, contig, args.templateModel, args.complementModel,
+             params, sm_type, out_tsv, args.substitute, args.targetRegions)
+            for p in paths]
+    if args.jobs > 1:
+        import multiprocessing as mp
+        with mp.Pool(args.jobs) as pool:
+            results = pool.map(_align_one, work)
+    else:
+        results = [_align_one(w) for w in work]
+    ok = 0
+    for label, msg in results:
+        print(f"signal_align - {label}: {msg}", file=sys.stderr)
+        ok += "anchors" in msg
+    print(f"signal_align - aligned {ok}/{len(results)} reads -> {out_tsv}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -47,8 +47,12 @@ def _prepare_read(ref_seq, npread, params):
 
     tm = npread.template_event_map
     t_events = npread.template_events[int(tm[guide.start2]):int(tm[end2])]
-    t_anchors = filter_to_remove_overlap(remap_anchor_pairs_with_offset(
-        anchors, tm, guide.start2))
+    t_anchors = remap_anchor_pairs_with_offset(anchors, tm, guide.start2)
+    if len(t_anchors):
+        ok_t = ((t_anchors[:, 0] >= 0) & (t_anchors[:, 0] < max(lX_kmers, 1))
+                & (t_anchors[:, 1] >= 0) & (t_anchors[:, 1] < max(len(t_events), 1)))
+        t_anchors = t_anchors[ok_t]
+    t_anchors = filter_to_remove_overlap(t_anchors)
 
     cm = npread.complement_event_map
     ev_lo = int(cm[end2])

@@ -184,8 +184,12 @@ def align_read(ref_seq: str, contig: str, npread: NanoporeRead,
     ev_start_t = int(tm[guide.start2])
     ev_end_t = int(tm[end2])
     t_events = npread.template_events[ev_start_t:ev_end_t]
-    t_anchors = filter_to_remove_overlap(remap_anchor_pairs_with_offset(
-        anchors, tm, guide.start2))
+    t_anchors = remap_anchor_pairs_with_offset(anchors, tm, guide.start2)
+    if len(t_anchors):
+        ok_t = ((t_anchors[:, 0] >= 0) & (t_anchors[:, 0] < max(lX_kmers, 1))
+                & (t_anchors[:, 1] >= 0) & (t_anchors[:, 1] < max(len(t_events), 1)))
+        t_anchors = t_anchors[ok_t]
+    t_anchors = filter_to_remove_overlap(t_anchors)
 
     # --- complement strand: the complement event map *decreases* with read
     # position (the complement strand is sequenced in reverse,
