@@ -167,15 +167,16 @@ def stack_problems(probs: list[SM3PallasProblem]) -> SM3PallasProblem:
 
 
 def run_sm3_pallas(plan: fb.EnginePlan, W: int, batch: SM3PallasProblem,
-                   Bt: int = 8, stages: int = 4):
+                   Bt: int = 8, stages: int = 4, interpret: bool = False):
     """Pipeline body: emissions -> forward -> fused backward."""
     Dp = batch.diag_scalars.shape[1] - 1
-    E = pk.emissions_sm3(batch.x0, batch.yr0, batch.xarr, batch.evr, W, Dp)
+    E = pk.emissions_sm3(batch.x0, batch.yr0, batch.xarr, batch.evr, W, Dp,
+                         interpret=interpret)
     F = pk.forward_sm3(plan, E, batch.diag_scalars, batch.d_last, batch.start,
-                       batch.tp_scalar, Bt=Bt)
+                       batch.tp_scalar, Bt=Bt, interpret=interpret)
     p, totals, pgapx, stats = pk.backward_sm3(
         plan, E, F, batch.diag_scalars, batch.d_last, batch.end,
-        batch.tp_scalar, Bt=Bt, stages=stages)
+        batch.tp_scalar, Bt=Bt, stages=stages, interpret=interpret)
     return p[:, :, 0, :], totals[:, :, 0, 0], pgapx[:, :, 0, :], stats[:, 0, :]
 
 

@@ -47,15 +47,17 @@ _LOG_UNDERFLOW = 7.5
 
 
 def _ladd(x, y):
-    """Reference logAdd: max + 4-piece cubic of |x-y| (pairwiseAligner.c:238-255)."""
+    """Reference logAdd (pairwiseAligner.c:238-255): lo + lookup(hi - lo) with
+    lookup(d) ~= log(exp(d) + 1), truncated to hi for d >= 7.5."""
     hi = jnp.maximum(x, y)
-    d = jnp.minimum(hi - jnp.minimum(x, y), _LOG_UNDERFLOW)
+    lo = jnp.minimum(x, y)
+    d = jnp.minimum(hi - lo, _LOG_UNDERFLOW)
     p1 = ((-0.009350833524763 * d + 0.130659527668286) * d + 0.498799810682272) * d + 0.693203116424741
     p2 = ((-0.014532321752540 * d + 0.139942324101744) * d + 0.495635523139337) * d + 0.692140569840976
     p3 = ((-0.004605031767994 * d + 0.063427417320019) * d + 0.695956496475118) * d + 0.514272634594009
     p4 = ((-0.000458661602210 * d + 0.009695946122598) * d + 0.930734667215156) * d + 0.168037164329057
     lut = jnp.where(d <= 1.0, p1, jnp.where(d <= 2.5, p2, jnp.where(d <= 4.5, p3, p4)))
-    out = hi + jnp.where(d >= _LOG_UNDERFLOW, 0.0, lut)
+    out = jnp.where(d >= _LOG_UNDERFLOW, hi, lo + lut)
     return jnp.maximum(out, NEG_INF)  # keep -1e30 saturated
 
 
@@ -117,7 +119,7 @@ def _emissions_kernel(x0_ref, yr0_ref, xarr_ref, evr_ref, out_ref, *, W, Dp):
         out_ref[0, 0] = jnp.concatenate([e_gapx, e_match, e_y], axis=0)
 
 
-def emissions_sm3(x0, yr0, xarr, evr, W: int, Dp: int):
+def emissions_sm3(x0, yr0, xarr, evr, W: int, Dp: int, interpret: bool = False):
     """x0/yr0: (B, Dp) int32 slice offsets; xarr: (B, N_XPARAMS, lXp);
     evr: (B, 2, lYp).  Returns E (B, Dp+1, C, W)."""
     Bn = xarr.shape[0]
@@ -139,6 +141,7 @@ def emissions_sm3(x0, yr0, xarr, evr, W: int, Dp: int):
         partial(_emissions_kernel, W=W, Dp=Dp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Bn, Dp + 1, 3, W), jnp.float32),
+        interpret=interpret,
     )(x0, yr0, xarr, evr)
 
 
@@ -202,7 +205,7 @@ def _forward_kernel(plan, Bt, W, E_ref, ds_ref, dlast_ref, start_ref, tps_ref,
 
 
 def forward_sm3(plan: EnginePlan, E, diag_scalars, d_last, start, tp_scalar,
-                Bt: int = 8):
+                Bt: int = 8, interpret: bool = False):
     """E (B, Dp+1, C, W); diag_scalars (B, Dp+1, 1, 8) int32 (see DS_*);
     start (B, S); tp_scalar (B, n).  Returns F (B, Dp, S, W)."""
     Bn, Dp1, C, W = E.shape
@@ -227,6 +230,7 @@ def forward_sm3(plan: EnginePlan, E, diag_scalars, d_last, start, tp_scalar,
         out_shape=jax.ShapeDtypeStruct((Bn, Dp, S, W), jnp.float32),
         scratch_shapes=[pltpu.VMEM((Bt, S, W), jnp.float32),
                         pltpu.VMEM((Bt, S, W), jnp.float32)],
+        interpret=interpret,
     )(E, diag_scalars, d_last.reshape(Bn, 1), start, tp_scalar)
 
 
@@ -385,7 +389,7 @@ def _backward_kernel(plan, Bt, W, Dp, stages,
 
 
 def backward_sm3(plan: EnginePlan, E, F, diag_scalars, d_last, end, tp_scalar,
-                 Bt: int = 8, stages: int = 4):
+                 Bt: int = 8, stages: int = 4, interpret: bool = False):
     """Fused backward pass.  Returns (p (B,Dp,1,W), totals (B,Dp,1,1),
     pgapx (B,Dp,1,W), stats (B,1,128): lane e = edge-e transition tally,
     lane LIK_LANE = likelihood).  ``stages`` gates debug subsets (1 = bare
@@ -440,5 +444,6 @@ def backward_sm3(plan: EnginePlan, E, F, diag_scalars, d_last, end, tp_scalar,
         scratch_shapes=[pltpu.VMEM((Bt, S, W), jnp.float32),
                         pltpu.VMEM((Bt, S, W), jnp.float32),
                         pltpu.VMEM((Bt, 128), jnp.float32)],
+        interpret=interpret,
     )(E, E, E, F, F, F, diag_scalars, diag_scalars,
       d_last.reshape(Bn, 1), end, tp_scalar)
