@@ -46,7 +46,7 @@ def test_pallas_pipeline_matches_window_engine():
 
     batch = pp.stack_problems([prob, prob])
     p_k, tot_k, pgx_k, stats_k = [np.asarray(o) for o in
-                                  pp.run_sm3_pallas(plan, W, batch, interpret=True)]
+                                  pp.run_sm3_pallas(plan, W, batch, Bt=2, interpret=True)]
     trans_k, lik_k = pp.unpack_stats(plan, stats_k)
 
     sm = make_signal_sm3(pore, ref_seq, events)
