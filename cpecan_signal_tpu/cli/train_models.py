@@ -74,7 +74,7 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
           complement_model_path: str, iterations: int = 10,
           sm_type: str = "threeState", params: AlignmentParams | None = None,
           out_dir: str = ".", assignment_threshold: float = 0.0,
-          log=print) -> dict:
+          checkpoint_dir: str | None = None, log=print) -> dict:
     """Run EM; returns final accumulators per strand and likelihood history."""
     params = params or cli_defaults()
     _, ref_seq = read_first_sequence(ref_path)
@@ -95,7 +95,22 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
              for s in ("t", "c")}
     history = []
     final = {}
-    for it in range(iterations):
+    start_iter = 0
+    if checkpoint_dir:
+        from ..utils.checkpoint import latest_checkpoint, load_checkpoint
+        ckpt = latest_checkpoint(checkpoint_dir)
+        if ckpt:
+            loaded, start_iter = load_checkpoint(ckpt)
+            history = list(np.atleast_1d(loaded.get("history", [])))
+            for strand in ("t", "c"):
+                st = loaded.get(strand, {})
+                for k in ("transitions", "kmer_gaps", "bins"):
+                    if k in st:
+                        state[strand][k] = (
+                            {kk: np.asarray(v) for kk, v in st[k].items()}
+                            if isinstance(st[k], dict) else np.asarray(st[k]))
+            log(f"train_models - resumed from {ckpt} at iteration {start_iter}")
+    for it in range(start_iter, iterations):
         accs = {}
         for strand in ("t", "c"):
             if sm_type == "threeState":
@@ -136,6 +151,14 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
         final = accs
         for strand, name in (("t", "template"), ("c", "complement")):
             final[strand].write(os.path.join(out_dir, f"{name}_trained.hmm"))
+        if checkpoint_dir:
+            from ..utils.checkpoint import save_checkpoint
+            ck_state = {"history": np.asarray(history)}
+            for strand in ("t", "c"):
+                ck_state[strand] = {k: v for k, v in state[strand].items()
+                                    if v is not None}
+            save_checkpoint(os.path.join(checkpoint_dir, f"ckpt_{it:06d}.npz"),
+                            ck_state, step=it + 1)
     return {"accumulators": final, "likelihoods": history}
 
 

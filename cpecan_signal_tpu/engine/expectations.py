@@ -64,7 +64,8 @@ def _edge_posteriors(plan: EnginePlan, inp: EngineInputs, F, B, totals):
     d_ok = (jnp.arange(D) >= 1)[:, None]
     mask = inp.valid & d_ok
     for e in plan.edges:
-        tp = _edge_tp(e, inp.tp_scalar, inp.TP[:D])
+        tp = sum((inp.TP[:D, :, i] for i in e.cell_ids),
+                 sum((inp.tp_scalar[i] for i in e.scalar_ids), 0.0))
         logp = (srcs[e.src][:, :, e.frm] + B[:, :, e.to]
                 + inp.E[:D, :, e.eclass] + tp - totals[:, None])
         p = jnp.where(mask, jnp.exp(logp), 0.0)
