@@ -84,7 +84,6 @@ N_XPARAMS = 13
 
 def _emissions_kernel(x0_ref, yr0_ref, xarr_ref, evr_ref, out_ref, *, W, Dp):
     d = pl.program_id(1)
-    b = pl.program_id(0)
 
     @pl.when(d >= Dp)
     def _():
@@ -92,8 +91,8 @@ def _emissions_kernel(x0_ref, yr0_ref, xarr_ref, evr_ref, out_ref, *, W, Dp):
 
     @pl.when(d < Dp)
     def _():
-        xs = x0_ref[b, d]
-        ys = yr0_ref[b, d]
+        xs = x0_ref[0, 0, d]
+        ys = yr0_ref[0, 0, d]
 
         def row(ref, r, start):
             # lane-dim dynamic slices must be 128-aligned: load an aligned
@@ -125,21 +124,26 @@ def emissions_sm3(x0, yr0, xarr, evr, W: int, Dp: int, interpret: bool = False):
     Bn = xarr.shape[0]
     lXp = xarr.shape[2]
     lYp = evr.shape[2]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(Bn, Dp + 1),
-        in_specs=[
-            pl.BlockSpec((1, N_XPARAMS, lXp), lambda b, d, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, lYp), lambda b, d, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, 3, W), lambda b, d, *_: (b, d, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
+    # x0/yr0 stream in as per-problem (1, 1, Dp+1) SMEM rows — whole-array
+    # scalar prefetch of (B, Dp) int32 blows the 1 MB SMEM budget on real chips
+    x0 = x0.reshape(Bn, 1, Dp + 1)
+    yr0 = yr0.reshape(Bn, 1, Dp + 1)
+    in_specs = [
+        pl.BlockSpec((1, 1, Dp + 1), lambda b, d: (b, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, Dp + 1), lambda b, d: (b, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, N_XPARAMS, lXp), lambda b, d: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, lYp), lambda b, d: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
     return pl.pallas_call(
         partial(_emissions_kernel, W=W, Dp=Dp),
-        grid_spec=grid_spec,
+        grid=(Bn, Dp + 1),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, 3, W), lambda b, d: (b, d, 0, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bn, Dp + 1, 3, W), jnp.float32),
         interpret=interpret,
     )(x0, yr0, xarr, evr)
