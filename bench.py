@@ -75,13 +75,14 @@ def main():
     W = wband.W
 
     batch = pp.stack_problems([prob] * BATCH)
-    out = pp.run_sm3_pallas(plan, W, batch)
+    pipeline = pp.make_jit_pipeline(plan, W)
+    out = pipeline(batch)
     _ = np.asarray(out[3]).ravel()[:4]  # force full execution (honest timing)
 
     times = []
     for _i in range(ITERS):
         t0 = time.perf_counter()
-        out = pp.run_sm3_pallas(plan, W, batch)
+        out = pipeline(batch)
         _ = np.asarray(out[3]).ravel()[:4]
         times.append(time.perf_counter() - t0)
     dt = min(times)

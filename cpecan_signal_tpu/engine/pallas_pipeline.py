@@ -167,7 +167,8 @@ def stack_problems(probs: list[SM3PallasProblem]) -> SM3PallasProblem:
 
 
 def run_sm3_pallas(plan: fb.EnginePlan, W: int, batch: SM3PallasProblem,
-                   Bt: int = 8, stages: int = 4, interpret: bool = False):
+                   Bt: int | None = None, stages: int = 4,
+                   interpret: bool = False):
     """Pipeline body: emissions -> forward -> fused backward."""
     Dp = batch.diag_scalars.shape[1] - 1
     E = pk.emissions_sm3(batch.x0, batch.yr0, batch.xarr, batch.evr, W, Dp,
@@ -189,7 +190,7 @@ def unpack_stats(plan: fb.EnginePlan, stats: np.ndarray):
     return trans, stats[:, pk.LIK_LANE]
 
 
-def make_jit_pipeline(plan: fb.EnginePlan, W: int, Bt: int = 8):
+def make_jit_pipeline(plan: fb.EnginePlan, W: int, Bt: int | None = None):
     """One fused jit for the whole pipeline."""
 
     @jax.jit

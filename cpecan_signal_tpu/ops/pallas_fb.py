@@ -82,71 +82,87 @@ def _shift(v, s, fill=NEG_INF):
 N_XPARAMS = 13
 
 
-def _emissions_kernel(x0_ref, yr0_ref, xarr_ref, evr_ref, out_ref, *, W, Dp):
-    d = pl.program_id(1)
+def _emissions_kernel(x0_ref, yr0_ref, xarr_ref, evr_ref, out_ref, *,
+                      W, Dp, Bte, kd):
+    dk = pl.program_id(1)
 
-    @pl.when(d >= Dp)
-    def _():
-        out_ref[0, 0] = jnp.zeros_like(out_ref[0, 0])
+    for i in range(Bte):
+        for k in range(kd):
+            d = dk * kd + k
+            xs = x0_ref[i, 0, d]
+            ys = yr0_ref[i, 0, d]
 
-    @pl.when(d < Dp)
-    def _():
-        xs = x0_ref[0, 0, d]
-        ys = yr0_ref[0, 0, d]
+            def pack(ref, nrows, start):
+                # lane-dim dynamic slices must be 128-aligned: load an aligned
+                # W+128 span and rotate by the remainder.  All nrows parameter
+                # rows share the same offset, so one 2D slice + one roll
+                # replaces nrows separate row loads (validated on-device).
+                al = pl.multiple_of((start // 128) * 128, 128)
+                v = ref[i, 0:nrows, pl.ds(al, W + 128)]
+                return pltpu.roll(v, W + 128 - (start - al), axis=1)[:, :W]
 
-        def row(ref, r, start):
-            # lane-dim dynamic slices must be 128-aligned: load an aligned
-            # W+128 span and rotate by the remainder (validated on-device)
-            al = pl.multiple_of((start // 128) * 128, 128)
-            v = ref[0, r:r + 1, pl.ds(al, W + 128)]
-            rot = pltpu.roll(v, W + 128 - (start - al), axis=1)
-            return rot[0:1, :W]
+            ev = pack(evr_ref, 2, ys)          # rows: mean, noise
+            xv = pack(xarr_ref, N_XPARAMS, xs)
 
-        mean = row(evr_ref, 0, ys)
-        noise = row(evr_ref, 1, ys)
+            def gauss(base, obs):
+                a = (obs - xv[base:base + 1]) * xv[base + 1:base + 2]
+                return jnp.maximum(xv[base + 2:base + 3] - 0.5 * a * a, NEG_INF)
 
-        def gauss(base, obs):
-            mu = row(xarr_ref, base, xs)
-            inv = row(xarr_ref, base + 1, xs)
-            logc = row(xarr_ref, base + 2, xs)
-            a = (obs - mu) * inv
-            return jnp.maximum(logc - 0.5 * a * a, NEG_INF)
-
-        e_match = jnp.maximum(gauss(0, mean) + gauss(3, noise), NEG_INF)
-        e_y = jnp.maximum(gauss(6, mean) + gauss(9, noise), NEG_INF)
-        e_gapx = row(xarr_ref, 12, xs)
-        out_ref[0, 0] = jnp.concatenate([e_gapx, e_match, e_y], axis=0)
+            mean = ev[0:1]
+            noise = ev[1:2]
+            e_match = jnp.maximum(gauss(0, mean) + gauss(3, noise), NEG_INF)
+            e_y = jnp.maximum(gauss(6, mean) + gauss(9, noise), NEG_INF)
+            e_gapx = xv[12:13]
+            e = jnp.concatenate([e_gapx, e_match, e_y], axis=0)
+            # row Dp is the zero sentinel the backward kernel's clamped
+            # E_{d+1}/E_{d+2} peeks read; padded rows beyond it stay zero too
+            out_ref[i, k] = jnp.where(d < Dp, e, jnp.zeros_like(e))
 
 
-def emissions_sm3(x0, yr0, xarr, evr, W: int, Dp: int, interpret: bool = False):
-    """x0/yr0: (B, Dp) int32 slice offsets; xarr: (B, N_XPARAMS, lXp);
-    evr: (B, 2, lYp).  Returns E (B, Dp+1, C, W)."""
+def emissions_sm3(x0, yr0, xarr, evr, W: int, Dp: int, interpret: bool = False,
+                  Bte: int | None = None, kd: int = 8):
+    """x0/yr0: (B, Dp+1) int32 slice offsets; xarr: (B, N_XPARAMS, lXp);
+    evr: (B, 2, lYp).  Returns E (B, Dpe, C, W) with Dpe = ceil((Dp+1)/kd)*kd
+    rows; rows >= Dp are zeros (row Dp is the sentinel the backward kernel
+    reads when peeking past the last diagonal)."""
     Bn = xarr.shape[0]
     lXp = xarr.shape[2]
     lYp = evr.shape[2]
-    # x0/yr0 stream in as per-problem (1, 1, Dp+1) SMEM rows — whole-array
-    # scalar prefetch of (B, Dp) int32 blows the 1 MB SMEM budget on real chips
-    x0 = x0.reshape(Bn, 1, Dp + 1)
-    yr0 = yr0.reshape(Bn, 1, Dp + 1)
+    nd = -(-(Dp + 1) // kd)
+    Dpe = nd * kd
+    if Bte is None:
+        # keep the double-buffered xarr blocks within a few MB of VMEM and
+        # the per-block offset rows well inside the 1 MB SMEM budget
+        Bte = max(1, min(8, (2 * 1024 * 1024) // (N_XPARAMS * lXp * 4),
+                         (256 * 1024) // (Dpe * 4)))
+    while Bn % Bte:
+        Bte -= 1
+    # offset rows stream in as full-length (Bte, 1, Dpe) SMEM rows per block
+    # (whole-array scalar prefetch of all B rows blows SMEM on real chips;
+    # chunked last-dim SMEM blocks must be 128-divisible, so full rows it is)
+    def padded(v):
+        v = v.reshape(Bn, 1, Dp + 1)
+        return jnp.pad(v, ((0, 0), (0, 0), (0, Dpe - (Dp + 1))), mode="edge")
+
     in_specs = [
-        pl.BlockSpec((1, 1, Dp + 1), lambda b, d: (b, 0, 0),
+        pl.BlockSpec((Bte, 1, Dpe), lambda b, d: (b, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, Dp + 1), lambda b, d: (b, 0, 0),
+        pl.BlockSpec((Bte, 1, Dpe), lambda b, d: (b, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, N_XPARAMS, lXp), lambda b, d: (b, 0, 0),
+        pl.BlockSpec((Bte, N_XPARAMS, lXp), lambda b, d: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 2, lYp), lambda b, d: (b, 0, 0),
+        pl.BlockSpec((Bte, 2, lYp), lambda b, d: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(
-        partial(_emissions_kernel, W=W, Dp=Dp),
-        grid=(Bn, Dp + 1),
+        partial(_emissions_kernel, W=W, Dp=Dp, Bte=Bte, kd=kd),
+        grid=(Bn // Bte, nd),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, 3, W), lambda b, d: (b, d, 0, 0),
+        out_specs=pl.BlockSpec((Bte, kd, 3, W), lambda b, d: (b, d, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bn, Dp + 1, 3, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bn, Dpe, 3, W), jnp.float32),
         interpret=interpret,
-    )(x0, yr0, xarr, evr)
+    )(padded(x0), padded(yr0), xarr, evr)
 
 
 # ---------------------------------------------------------------------------
@@ -208,15 +224,26 @@ def _forward_kernel(plan, Bt, W, E_ref, ds_ref, dlast_ref, start_ref, tps_ref,
         f1[:] = cur
 
 
+def _pick_bt(Bn: int, W: int, Bt: int | None) -> int:
+    """Problems per block: as many as VMEM comfortably allows (grid-step
+    overhead dominates at small Bt), rounded down to a divisor of Bn."""
+    if Bt is None:
+        Bt = max(8, 16384 // max(W, 1))
+    Bt = min(Bt, Bn)
+    while Bn % Bt:
+        Bt -= 1
+    return Bt
+
+
 def forward_sm3(plan: EnginePlan, E, diag_scalars, d_last, start, tp_scalar,
-                Bt: int = 8, interpret: bool = False):
-    """E (B, Dp+1, C, W); diag_scalars (B, Dp+1, 1, 8) int32 (see DS_*);
+                Bt: int | None = None, interpret: bool = False):
+    """E (B, >=Dp+1, C, W); diag_scalars (B, Dp+1, 1, 8) int32 (see DS_*);
     start (B, S); tp_scalar (B, n).  Returns F (B, Dp, S, W)."""
-    Bn, Dp1, C, W = E.shape
-    Dp = Dp1 - 1
+    Bn, _De, C, W = E.shape
+    Dp = diag_scalars.shape[1] - 1
     S = plan.n_states
+    Bt = _pick_bt(Bn, W, Bt)
     nb = Bn // Bt
-    assert nb * Bt == Bn
     grid = (nb, Dp)
     specs = [
         pl.BlockSpec((Bt, 1, C, W), lambda b, d: (b, d, 0, 0), memory_space=pltpu.VMEM),
@@ -393,16 +420,17 @@ def _backward_kernel(plan, Bt, W, Dp, stages,
 
 
 def backward_sm3(plan: EnginePlan, E, F, diag_scalars, d_last, end, tp_scalar,
-                 Bt: int = 8, stages: int = 4, interpret: bool = False):
+                 Bt: int | None = None, stages: int = 4,
+                 interpret: bool = False):
     """Fused backward pass.  Returns (p (B,Dp,1,W), totals (B,Dp,1,1),
     pgapx (B,Dp,1,W), stats (B,1,128): lane e = edge-e transition tally,
     lane LIK_LANE = likelihood).  ``stages`` gates debug subsets (1 = bare
     recursion, 2 = +totals/posteriors, 3 = +EM tallies)."""
-    Bn, Dp1, C, W = E.shape
-    Dp = Dp1 - 1
+    Bn, _De, C, W = E.shape
+    Dp = diag_scalars.shape[1] - 1
     S = plan.n_states
+    Bt = _pick_bt(Bn, W, Bt)
     nb = Bn // Bt
-    assert nb * Bt == Bn
 
     def erow(off):
         return lambda b, t: (b, jnp.clip(Dp - 1 - t + off, 0, Dp), 0, 0)
