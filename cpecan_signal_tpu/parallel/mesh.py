@@ -51,18 +51,14 @@ def distributed_posteriors(plan: fb.EnginePlan, W: int, mesh: Mesh,
     return fn(batch)
 
 
-def distributed_em_step(plan: fb.EnginePlan, W: int, mesh: Mesh,
-                        batch: dev.SM3Problem):
-    """One distributed E-step + reduce: each shard computes expectations over
-    its local problems; psum over ``data`` yields replicated global tallies
-    (the TPU equivalent of add_and_norm_expectations, trainModels.py:126-135).
-    Returns replicated (transitions (3,3), kmer_gap (4096,), likelihood)."""
-    from jax.experimental.shard_map import shard_map
-
-    batch = shard_batch(batch, mesh)
+def em_step_fn(plan: fb.EnginePlan, W: int, mesh: Mesh, batch_like):
+    """Jitted distributed E-step + psum reduce for batches shaped like
+    ``batch_like`` (works single- and multi-process: the input must already
+    be sharded P("data") over the mesh)."""
+    from jax import shard_map
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(jax.tree.map(lambda _: P("data"), batch),),
+             in_specs=(jax.tree.map(lambda _: P("data"), batch_like),),
              out_specs=(P(), P(), P()))
     def step(local_batch):
         trans, kmer_gap, lik = dev.sm3_batch_expectations(plan, W, local_batch)
@@ -71,7 +67,21 @@ def distributed_em_step(plan: fb.EnginePlan, W: int, mesh: Mesh,
         lik = jax.lax.psum(lik, "data")
         return trans, kmer_gap, lik
 
-    return jax.jit(step)(batch)
+    return jax.jit(step)
+
+
+def distributed_em_step(plan: fb.EnginePlan, W: int, mesh: Mesh,
+                        batch: dev.SM3Problem, presharded: bool = False):
+    """One distributed E-step + reduce: each shard computes expectations over
+    its local problems; psum over ``data`` yields replicated global tallies
+    (the TPU equivalent of add_and_norm_expectations, trainModels.py:126-135).
+    Returns replicated (transitions (3,3), kmer_gap (4096,), likelihood).
+
+    Pass ``presharded=True`` when ``batch`` is already a global jax.Array
+    pytree (multi-host path, parallel/distributed.make_global_batch)."""
+    if not presharded:
+        batch = shard_batch(batch, mesh)
+    return em_step_fn(plan, W, mesh, batch)(batch)
 
 
 def em_m_step(trans, kmer_gap):
