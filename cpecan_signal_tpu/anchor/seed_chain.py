@@ -19,7 +19,7 @@ import numpy as np
 from ..core.anchors import filter_to_remove_overlap
 
 
-def _seed_matches(sx: str, sy: str, k: int) -> np.ndarray:
+def _seed_matches(sx: str, sy: str, k: int, repeat_mask: bool = True) -> np.ndarray:
     """All exact k-mer match positions (x, y), case-insensitive."""
     sx = sx.upper()
     sy = sy.upper()
@@ -29,11 +29,12 @@ def _seed_matches(sx: str, sy: str, k: int) -> np.ndarray:
         if "N" in w:
             continue
         index.setdefault(w, []).append(i)
+    max_hits = 32 if repeat_mask else 256
     out = []
     for j in range(len(sy) - k + 1):
         w = sy[j:j + k]
         hits = index.get(w)
-        if hits is None or len(hits) > 32:  # repeat masking analogue
+        if hits is None or len(hits) > max_hits:  # repeat masking analogue
             continue
         for i in hits:
             out.append((i, j))
@@ -86,7 +87,8 @@ def _chain_runs(runs: list[tuple[int, int, int]]) -> list[tuple[int, int, int]]:
     return chain[::-1]
 
 
-def get_anchor_pairs(sx: str, sy: str, k: int = 12, run_trim: int = 2) -> np.ndarray:
+def get_anchor_pairs(sx: str, sy: str, k: int = 12, run_trim: int = 2,
+                     repeat_mask: bool = True) -> np.ndarray:
     """Monotone anchor (x, y) pairs between two nucleotide sequences.
 
     Drop-in for getBlastPairsForPairwiseAlignmentParameters.  Unlike lastz's
@@ -95,7 +97,7 @@ def get_anchor_pairs(sx: str, sy: str, k: int = 12, run_trim: int = 2) -> np.nda
     runs are trustworthy along their whole length, so only a small fixed
     ``run_trim`` is shaved per run end.  Output is strictly monotone.
     """
-    seeds = _seed_matches(sx, sy, k)
+    seeds = _seed_matches(sx, sy, k, repeat_mask=repeat_mask)
     runs = _merge_diagonal_runs(seeds, k)
     chain = _chain_runs(runs)
     pairs = []
@@ -108,9 +110,36 @@ def get_anchor_pairs(sx: str, sy: str, k: int = 12, run_trim: int = 2) -> np.nda
     return filter_to_remove_overlap(pairs)
 
 
+def _reanchor_gap(sx: str, sy: str, px: int, py: int, x: int, y: int,
+                  params, out: list) -> None:
+    """Bottom-level re-anchoring of one inter-anchor gap at relaxed
+    stringency — smaller seeds, no repeat masking (getBlastPairsForPairwise-
+    AlignmentParametersP, pairwiseAligner.c:1202-1228: lastz re-run on the
+    gap substring with repeat masking off)."""
+    lx2, ly2 = x - px, y - py
+    if lx2 * ly2 <= params.repeat_mask_matrix_bigger_than_this:
+        return
+    sub = get_anchor_pairs(sx[px:x], sy[py:y], k=10, repeat_mask=False)
+    for bx, by in sub:
+        out.append((int(bx) + px, int(by) + py))
+
+
 def get_anchor_pairs_for_params(sx: str, sy: str, params) -> np.ndarray:
-    """Anchor generation honoring anchorMatrixBiggerThanThis: small matrices
-    get no anchors (full DP), like pairwiseAligner.c:1238-1240."""
+    """Anchor generation honoring anchorMatrixBiggerThanThis (small matrices
+    get no anchors -> full DP, pairwiseAligner.c:1238-1240) with recursive
+    re-anchoring of large inter-anchor gaps (pairwiseAligner.c:1230-1281)."""
     if len(sx) * len(sy) <= params.anchor_matrix_bigger_than_this:
         return np.zeros((0, 2), dtype=np.int64)
-    return get_anchor_pairs(sx, sy)
+    top = get_anchor_pairs(sx, sy)
+    combined: list[tuple[int, int]] = []
+    px = py = 0
+    for x, y in top:
+        _reanchor_gap(sx, sy, px, py, int(x), int(y), params, combined)
+        combined.append((int(x), int(y)))
+        px, py = int(x) + 1, int(y) + 1
+    _reanchor_gap(sx, sy, px, py, len(sx), len(sy), params, combined)
+    if not combined:
+        return np.zeros((0, 2), dtype=np.int64)
+    pairs = np.asarray(combined, dtype=np.int64)
+    order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+    return filter_to_remove_overlap(pairs[order])

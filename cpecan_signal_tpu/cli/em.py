@@ -90,9 +90,10 @@ def expectation_maximisation(alignment_file: str, fasta_files: list[str],
         if set_jukes_cantor_divergence is not None:
             set_jukes_cantor(hmm, set_jukes_cantor_divergence)
         running = []
+        trial_records, trial_chunks = records, chunks
         for it in range(iterations):
             acc = DiscreteHmm.empty(5, SYMBOL_NUMBER, pseudocount=1e-12)
-            for chunk in chunks:
+            for chunk in trial_chunks:
                 for rec in chunk:
                     realign_record(rec, seqs, params, hmm=hmm,
                                    expectations=acc)
@@ -102,6 +103,19 @@ def expectation_maximisation(alignment_file: str, fasta_files: list[str],
             running.append(acc.likelihood)
             log(f"em - trial {trial} iteration {it}: likelihood {acc.likelihood:.2f}")
             hmm = acc
+            if update_band and it < iterations - 1:
+                # re-banding step (calculateAlignments, cPecanEm.py:212-242):
+                # realign with the new model so the next E-step's guide
+                # alignments (anchors/bands) track the improving model
+                new_records = []
+                for rec in trial_records:
+                    out = realign_record(rec, seqs, params, hmm=hmm)
+                    if out:
+                        new_records.extend(out)
+                if new_records:
+                    trial_records = new_records
+                    trial_chunks = chunk_alignments(trial_records,
+                                                    max_bases_per_chunk)
         hmm.running_likelihoods = running
         if best is None or hmm.likelihood > best.likelihood:
             best = hmm

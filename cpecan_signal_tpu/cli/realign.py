@@ -43,9 +43,13 @@ def get_sub_sequence(seq: str, start: int, end: int, strand: bool) -> str:
 
 def sm5_from_hmm(hmm: DiscreteHmm | None):
     """StateMachine5 loaded from a trained discrete HMM (stateMachine5_load-
-    Symmetric, stateMachine.c:1100-1154) or defaults."""
+    Symmetric/-Asymmetric, stateMachine.c:1050-1154) or defaults; dispatch on
+    the HMM file's type field like cPecanRealign's loadHmm path."""
     if hmm is None:
         return make_symbol_sm5()
+    from ..em.accumulators import TYPE_FIVE_STATE_ASYMMETRIC
+    if hmm.type == TYPE_FIVE_STATE_ASYMMETRIC:
+        return _sm5_from_hmm_asymmetric(hmm)
     t = hmm.transitions
 
     def lg(v):
@@ -85,6 +89,46 @@ def sm5_from_hmm(hmm: DiscreteHmm | None):
             gap += hmm.emissions[s].sum(axis=0)
         gap4 = np.log(gap / gap.sum())
     return make_symbol_sm5(trans, match4, gap4, gap4)
+
+
+def _sm5_from_hmm_asymmetric(hmm: DiscreteHmm):
+    """stateMachine5_loadAsymmetric (stateMachine.c:1050-1098): per-axis
+    transition loads with independent long/short swap guards; match emissions
+    un-symmetrized, gapX/gapY collapsed from their own gap states only."""
+    t = hmm.transitions
+
+    def lg(v):
+        with np.errstate(divide="ignore"):
+            return float(np.log(v))
+
+    trans = {"match_continue": lg(t[0, 0])}
+    for axis, (sg, lg_) in (("x", (1, 3)), ("y", (2, 4))):
+        other_sg = 2 if axis == "x" else 1
+        other_lg = 4 if axis == "x" else 3
+        a = {
+            f"match_from_short_{axis}": lg(t[sg, 0]),
+            f"match_from_long_{axis}": lg(t[lg_, 0]),
+            f"short_open_{axis}": lg(t[0, sg]),
+            f"short_extend_{axis}": lg(t[sg, sg]),
+            f"short_switch_to_{axis}": lg(t[other_sg, sg]),
+            f"long_open_{axis}": lg(t[0, lg_]),
+            f"long_extend_{axis}": lg(t[lg_, lg_]),
+            f"long_switch_to_{axis}": lg(t[other_lg, lg_]),
+        }
+        if a[f"short_extend_{axis}"] > a[f"long_extend_{axis}"]:
+            for p, q in ((f"short_extend_{axis}", f"long_extend_{axis}"),
+                         (f"match_from_short_{axis}", f"match_from_long_{axis}"),
+                         (f"short_open_{axis}", f"long_open_{axis}"),
+                         (f"short_switch_to_{axis}", f"long_switch_to_{axis}")):
+                a[p], a[q] = a[q], a[p]
+        trans.update(a)
+    with np.errstate(divide="ignore"):
+        match4 = np.log(hmm.emissions[0])
+        gx = hmm.emissions[1].sum(axis=1) + hmm.emissions[3].sum(axis=1)
+        gy = hmm.emissions[2].sum(axis=0) + hmm.emissions[4].sum(axis=0)
+        gapx4 = np.log(gx / gx.sum())
+        gapy4 = np.log(gy / gy.sum())
+    return make_symbol_sm5(trans, match4, gapx4, gapy4)
 
 
 def realign_record(rec: CigarRecord, seqs: dict[str, str],

@@ -37,6 +37,10 @@ class TargetRegions:
 
 
 def _align_one(args):
+    """Aligns one read, writing rows to a per-read temp TSV (the reference's
+    per-read temp dirs, nanoporeLib.py:764-972 — concurrent appends from N
+    workers to one file can interleave >4KB writes).  Returns the temp path
+    for the driver to merge."""
     (path, ref_seq, contig, tmodel_path, cmodel_path, params, sm_type,
      out_tsv, substitute, regions_path) = args
     import jax
@@ -54,21 +58,22 @@ def _align_one(args):
         else:
             npread = load_npread(path)
     except Exception as exc:  # unreadable/malformed reads are skipped
-        return (label, f"error: {exc}")
+        return (label, f"error: {exc}", None)
 
     guide = guide_alignment(ref_seq, npread.twoD_read,
                             params.constraint_diagonal_trim)
     if guide is None:
-        return (label, "unmapped")
+        return (label, "unmapped", None)
     if regions_path is not None:
         regions = TargetRegions(regions_path)
         lo, hi = sorted((guide.start1, guide.end1))
         if not regions.hits(lo, hi):
-            return (label, "outside target regions")
+            return (label, "outside target regions", None)
 
     tmodel = load_pore_model(tmodel_path)
     cmodel = load_pore_model(cmodel_path)
-    out_fh = open(out_tsv, "a") if out_tsv else None
+    tmp_tsv = f"{out_tsv}.{os.getpid()}.{label}.part" if out_tsv else None
+    out_fh = open(tmp_tsv, "w") if tmp_tsv else None
     try:
         res = align_read(ref_seq, contig, npread, tmodel, cmodel, params,
                          sm_type=sm_type, guide=guide, substitute=substitute,
@@ -77,10 +82,13 @@ def _align_one(args):
         if out_fh:
             out_fh.close()
     if res["status"] != "ok":
-        return (label, res["status"])
+        if tmp_tsv:
+            os.unlink(tmp_tsv)
+        return (label, res["status"], None)
     t, c = res["t"], res["c"]
     return (label, f"{res['n_anchors']} anchors, "
-                   f"t {len(t.probs)}({t.score:.2f}) c {len(c.probs)}({c.score:.2f})")
+                   f"t {len(t.probs)}({t.score:.2f}) c {len(c.probs)}({c.score:.2f})",
+            tmp_tsv)
 
 
 def main(argv=None):
@@ -141,9 +149,14 @@ def main(argv=None):
     else:
         results = [_align_one(w) for w in work]
     ok = 0
-    for label, msg in results:
-        print(f"signal_align - {label}: {msg}", file=sys.stderr)
-        ok += "anchors" in msg
+    with open(out_tsv, "a") as merged:
+        for label, msg, part in results:
+            print(f"signal_align - {label}: {msg}", file=sys.stderr)
+            ok += "anchors" in msg
+            if part and os.path.exists(part):
+                with open(part) as fh:
+                    merged.write(fh.read())
+                os.unlink(part)
     print(f"signal_align - aligned {ok}/{len(results)} reads -> {out_tsv}")
     return 0
 

@@ -31,11 +31,13 @@ from ..models.state_machines import (make_signal_sm3, make_signal_sm3_hdp,
 from .vanilla_align import guide_alignment, rebased_anchor_pairs
 
 
-def _prepare_read(ref_seq, npread, params):
+def _prepare_read(ref_seq, npread, params, descale=False):
     """Guide + per-strand (target, events, anchors) tuples, like align_read."""
     guide = guide_alignment(ref_seq, npread.twoD_read, params.constraint_diagonal_trim)
     if guide is None:
         return None
+    if descale:  # threeStateHdp trains on descaled event means (align_read)
+        npread = npread.descale()
     if guide.strand1:
         trimmed = ref_seq[guide.start1:guide.end1]
     else:
@@ -74,17 +76,41 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
           complement_model_path: str, iterations: int = 10,
           sm_type: str = "threeState", params: AlignmentParams | None = None,
           out_dir: str = ".", assignment_threshold: float = 0.0,
-          checkpoint_dir: str | None = None, log=print) -> dict:
-    """Run EM; returns final accumulators per strand and likelihood history."""
+          checkpoint_dir: str | None = None,
+          template_hdp: str | None = None, complement_hdp: str | None = None,
+          gibbs: dict | None = None, log=print) -> dict:
+    """Run EM; returns final accumulators per strand and likelihood history.
+
+    For ``sm_type == "threeStateHdp"`` the full reference loop runs
+    (trainModels.py:269-330 + vanillaAlign.c:521-557): E-step collects
+    (kmer, event) assignments above ``assignment_threshold``; after the
+    transition M-step each strand's HDP is rebuilt from this iteration's
+    assignments, Gibbs-sampled (budget ``gibbs``), finalized, serialized to
+    ``out_dir`` and its densities reloaded for the next E-step.
+    ``template_hdp``/``complement_hdp`` are serialized NanoporeHDPs that
+    provide the initial densities and topology/prior.
+    """
     params = params or cli_defaults()
     _, ref_seq = read_first_sequence(ref_path)
     models = {"t": load_pore_model(template_model_path),
               "c": load_pore_model(complement_model_path)}
 
+    nhdps, density = {}, {}
+    if sm_type == "threeStateHdp":
+        from ..hdp.nanopore import deserialize_nhdp
+        if not (template_hdp and complement_hdp):
+            raise ValueError("threeStateHdp training needs template_hdp and "
+                             "complement_hdp (serialized NanoporeHDPs)")
+        gibbs = gibbs or dict(num_samples=10_000, burn_in=100_000, thinning=100)
+        for strand, path in (("t", template_hdp), ("c", complement_hdp)):
+            nhdps[strand] = deserialize_nhdp(path)
+            density[strand] = nhdps[strand].density_logp_fn()
+
     reads = []
     for path in npread_paths:
         npread = load_npread(path)
-        prep = _prepare_read(ref_seq, npread, params)
+        prep = _prepare_read(ref_seq, npread, params,
+                             descale=(sm_type == "threeStateHdp"))
         if prep is not None:
             reads.append(prep)
     if not reads:
@@ -135,6 +161,11 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
                     make_sm = (lambda t, e, _p=pore, _s=st, _n=sname:
                                make_signal_vanilla(_p, t, e, _n, _s["bins"]))
                     r = vanilla_expectations(make_sm, target, events, anchors, params)
+                elif sm_type == "threeStateHdp":
+                    make_sm = (lambda t, e, _d=density[strand], _s=st:
+                               make_signal_sm3_hdp(_d, t, e, _s["transitions"]))
+                    r = hdp_expectations(make_sm, target, events, anchors,
+                                         params, assignment_threshold)
                 else:
                     raise ValueError(f"EM for {sm_type} not driven by this CLI")
                 acc.add(r)
@@ -145,6 +176,27 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
                 st["transitions"], st["kmer_gaps"] = acc.to_sm3_params()
             elif sm_type == "vanilla":
                 st["bins"] = acc.bins
+            elif sm_type == "threeStateHdp":
+                st["transitions"] = acc.to_sm3_params()
+                # rebuild the strand HDP from this iteration's assignments
+                # (trainModels.py:321-324 -> vanillaAlign --buildHDP each
+                # iteration) and reload densities for the next E-step
+                if acc.n_assignments:
+                    from ..hdp.nanopore import NanoporeHDP
+                    from .build_hdp import _fresh_like
+                    old = nhdps[strand]
+                    nhdp = NanoporeHDP(alphabet=old.alphabet,
+                                       kmer_length=old.kmer_length,
+                                       topology=old.topology,
+                                       hdp=_fresh_like(old))
+                    nhdp.set_assignments(acc.kmer_assignments,
+                                         acc.event_assignments)
+                    nhdp.gibbs(**gibbs)
+                    nhdp.finalize()
+                    name = "template" if strand == "t" else "complement"
+                    nhdp.serialize(os.path.join(out_dir, f"{name}_trained.nhdp"))
+                    nhdps[strand] = nhdp
+                    density[strand] = nhdp.density_logp_fn()
         lik = sum(a.likelihood for a in accs.values())
         history.append(lik)
         log(f"train_models - iteration {it}: likelihood {lik:.2f}")
@@ -176,6 +228,14 @@ def main(argv=None):
     ap.add_argument("--iterations", "-i", type=int, default=10)
     ap.add_argument("--strawMan", "-s", action="store_true")
     ap.add_argument("--vanilla", action="store_true")
+    ap.add_argument("--threeStateHdp", action="store_true")
+    ap.add_argument("--templateHdp", "-v", default=None,
+                    help="serialized template NanoporeHDP (threeStateHdp)")
+    ap.add_argument("--complementHdp", "-w", default=None)
+    ap.add_argument("--assignmentThreshold", type=float, default=0.0)
+    ap.add_argument("--samples", type=int, default=10_000)
+    ap.add_argument("--burnIn", type=int, default=100_000)
+    ap.add_argument("--thinning", type=int, default=100)
     ap.add_argument("--outDir", "-o", default=".")
     ap.add_argument("--amount", "-a", type=int, default=None,
                     help="cap total training bases (cull_training_files)")
@@ -195,9 +255,14 @@ def main(argv=None):
             total += n
             kept.append(p)
         paths = kept
-    sm_type = "vanilla" if args.vanilla else "threeState"
+    sm_type = ("threeStateHdp" if args.threeStateHdp else
+               "vanilla" if args.vanilla else "threeState")
     train(args.ref, paths, args.templateModel, args.complementModel,
-          iterations=args.iterations, sm_type=sm_type, out_dir=args.outDir)
+          iterations=args.iterations, sm_type=sm_type, out_dir=args.outDir,
+          assignment_threshold=args.assignmentThreshold,
+          template_hdp=args.templateHdp, complement_hdp=args.complementHdp,
+          gibbs=dict(num_samples=args.samples, burn_in=args.burnIn,
+                     thinning=args.thinning))
     return 0
 
 

@@ -153,6 +153,7 @@ def align_read(ref_seq: str, contig: str, npread: NanoporeRead,
                template_hdp_density=None, complement_hdp_density=None,
                template_transitions=None, complement_transitions=None,
                template_kmer_gaps=None, complement_kmer_gaps=None,
+               template_skip_bins=None, complement_skip_bins=None,
                dtype=None) -> dict:
     """Full two-strand signal alignment of one read (vanillaAlign.c:361-805)."""
     if guide is None:
@@ -213,13 +214,15 @@ def align_read(ref_seq: str, contig: str, npread: NanoporeRead,
         c_anchors = anchors
 
     for strand, target, raw_target, model, sparams, events_all, strand_events, \
-            strand_anchors, hdp_d, trans, kgaps, ref_off, ev_off in (
+            strand_anchors, hdp_d, trans, kgaps, sbins, ref_off, ev_off in (
             ("t", t_target, trimmed, template_model, npread.template_params,
              npread.template_events, t_events, t_anchors, template_hdp_density,
-             template_transitions, template_kmer_gaps, guide.start1, ev_start_t),
+             template_transitions, template_kmer_gaps, template_skip_bins,
+             guide.start1, ev_start_t),
             ("c", c_target, rc_trimmed, complement_model, npread.complement_params,
              npread.complement_events, c_events, c_anchors, complement_hdp_density,
-             complement_transitions, complement_kmer_gaps, guide.end1, ev_lo_c)):
+             complement_transitions, complement_kmer_gaps, complement_skip_bins,
+             guide.end1, ev_lo_c)):
         scaled = model
         if sm_type != "threeStateHdp" and model is not None:
             scaled = scale_model(model, sparams.scale, sparams.shift, sparams.var,
@@ -228,7 +231,7 @@ def align_read(ref_seq: str, contig: str, npread: NanoporeRead,
             results[strand] = AlignedPairs(*(np.zeros(0, dtype=np.int64),) * 3)
             continue
         make_sm = make_sm_factory(sm_type, scaled, strand, trans, kgaps,
-                                  hdp_density=hdp_d)
+                                  skip_bins=sbins, hdp_density=hdp_d)
         pairs = align_events_to_target(make_sm, target, strand_events,
                                        strand_anchors, params,
                                        ragged_left=True, ragged_right=True,
@@ -258,6 +261,13 @@ def main(argv=None):
     ap.add_argument("--strawMan", "-s", action="store_true")
     ap.add_argument("--fourState", "-f", action="store_true")
     ap.add_argument("--echelon", "-e", action="store_true")
+    ap.add_argument("--threeStateHdp", action="store_true")
+    ap.add_argument("--templateHmm", "-y", default=None,
+                    help="trained template HMM to load (vanillaAlign -y)")
+    ap.add_argument("--complementHmm", "-z", default=None)
+    ap.add_argument("--templateHdp", "-v", default=None,
+                    help="serialized template NanoporeHDP (threeStateHdp)")
+    ap.add_argument("--complementHdp", "-w", default=None)
     ap.add_argument("--substitute", "-M", default=None)
     ap.add_argument("--threshold", "-D", type=float, default=0.01)
     ap.add_argument("--diagonalExpansion", "-x", type=int, default=50)
@@ -267,7 +277,8 @@ def main(argv=None):
 
     sm_type = ("threeState" if args.strawMan else
                "fourState" if args.fourState else
-               "echelon" if args.echelon else "vanilla")
+               "echelon" if args.echelon else
+               "threeStateHdp" if args.threeStateHdp else "vanilla")
     contig, ref_seq = read_first_sequence(args.reference)
     npread = load_npread(args.npRead)
     tmodel = load_pore_model(args.templateModel)
@@ -280,11 +291,41 @@ def main(argv=None):
         with open(args.cigar) as fh:
             guide = parse_cigar_line(fh.readline())
 
+    # trained-model loading (vanillaAlign -y/-z, vanillaAlign.c:223-226)
+    trained = {"t": {"transitions": None, "kmer_gap_probs": None,
+                     "skip_bins": None},
+               "c": {"transitions": None, "kmer_gap_probs": None,
+                     "skip_bins": None}}
+    for strand, path in (("t", args.templateHmm), ("c", args.complementHmm)):
+        if path:
+            from ..em.accumulators import load_signal_hmm, signal_sm_params
+            trained[strand] = signal_sm_params(load_signal_hmm(path))
+
+    # HDP densities (threeStateHdp alignment path)
+    hdp_density = {"t": None, "c": None}
+    for strand, path in (("t", args.templateHdp), ("c", args.complementHdp)):
+        if path:
+            from ..hdp.nanopore import deserialize_nhdp
+            hdp_density[strand] = deserialize_nhdp(path).density_logp_fn()
+    if sm_type == "threeStateHdp" and (hdp_density["t"] is None or
+                                       hdp_density["c"] is None):
+        print("threeStateHdp needs --templateHdp and --complementHdp",
+              file=sys.stderr)
+        return 1
+
     out_fh = open(args.posteriors, "a") if args.posteriors else None
     try:
         res = align_read(ref_seq, contig, npread, tmodel, cmodel, params,
                          sm_type=sm_type, guide=guide, substitute=args.substitute,
-                         read_label=args.readLabel, out_fh=out_fh)
+                         read_label=args.readLabel, out_fh=out_fh,
+                         template_hdp_density=hdp_density["t"],
+                         complement_hdp_density=hdp_density["c"],
+                         template_transitions=trained["t"]["transitions"],
+                         complement_transitions=trained["c"]["transitions"],
+                         template_kmer_gaps=trained["t"]["kmer_gap_probs"],
+                         complement_kmer_gaps=trained["c"]["kmer_gap_probs"],
+                         template_skip_bins=trained["t"]["skip_bins"],
+                         complement_skip_bins=trained["c"]["skip_bins"])
     finally:
         if out_fh:
             out_fh.close()

@@ -335,3 +335,35 @@ class DiscreteHmm:
             likelihood = float(line2[s * s])
             emiss = np.asarray(fh.readline().split(), dtype=np.float64).reshape(s, n, n)
         return cls(transitions=trans, emissions=emiss, likelihood=likelihood, type=type_)
+
+
+def load_signal_hmm(path: str):
+    """Type-dispatched signal-HMM load (hmmContinuous_loadSignalHmm,
+    continuousHmm.c:903-911): reads the type field of the header and returns
+    the matching accumulator instance."""
+    with open(path) as fh:
+        type_ = int(fh.readline().split()[0])
+    if type_ in (TYPE_THREE_STATE, TYPE_THREE_STATE_ASYMMETRIC):
+        return ContinuousPairHmm.load(path)
+    if type_ in (TYPE_VANILLA, TYPE_ECHELON):
+        return VanillaHmm.load(path)
+    if type_ == TYPE_THREE_STATE_HDP:
+        return HdpHmm.load(path)
+    raise ValueError(f"unsupported signal HMM type {type_} in {path}")
+
+
+def signal_sm_params(hmm) -> dict:
+    """M-step parameter bundle for make_sm_factory from a loaded accumulator:
+    {"transitions": ..., "kmer_gap_probs": ..., "skip_bins": ...} with None
+    for fields the model type does not train."""
+    if isinstance(hmm, ContinuousPairHmm):
+        trans, kmer_gaps = hmm.to_sm3_params()
+        return {"transitions": trans, "kmer_gap_probs": kmer_gaps,
+                "skip_bins": None}
+    if isinstance(hmm, VanillaHmm):
+        return {"transitions": None, "kmer_gap_probs": None,
+                "skip_bins": hmm.bins.copy()}
+    if isinstance(hmm, HdpHmm):
+        return {"transitions": hmm.to_sm3_params(), "kmer_gap_probs": None,
+                "skip_bins": None}
+    raise TypeError(type(hmm))

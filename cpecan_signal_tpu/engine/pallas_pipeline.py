@@ -39,6 +39,8 @@ class SM3PallasProblem(NamedTuple):
     start: jnp.ndarray   # (S,) f32
     end: jnp.ndarray
     tp_scalar: jnp.ndarray  # (n,) f32
+    xrank: jnp.ndarray   # (lXp,) int32 k-mer rank per xarr column (sentinel
+                         # slots 4097) — drives the on-device kmer-gap scatter
 
 
 def _gauss_pack(table: np.ndarray, ranks: np.ndarray):
@@ -71,7 +73,8 @@ def make_sm3_pallas_problem(pore: PoreModel, target_seq: str, events: np.ndarray
 
     W = wband.W
     D = wband.n_diagonals
-    Dp = D if pad_d is None else pad_d
+    # the kd-blocked kernels need Dp % KD == 0 (ops/pallas_fb)
+    Dp = -(-max(D, pad_d or D) // pk.KD) * pk.KD
     lX = len(target_seq) - KMER_LENGTH + 1
     lY = len(events)
     lx_cap = lX if pad_lx is None else pad_lx
@@ -98,6 +101,8 @@ def make_sm3_pallas_problem(pore: PoreModel, target_seq: str, events: np.ndarray
         gapx_tab[:NUM_OF_KMERS] = kmer_gap_probs
     gapx_tab[NUM_OF_KMERS:] = NEG_INF
     xarr[12, sl] = np.maximum(gapx_tab[ranks], NEG_INF)
+    xrank = np.full(lXp, NUM_OF_KMERS + 1, dtype=np.int32)
+    xrank[sl] = ranks
 
     # --- reversed event arrays: ri = lY - y in [0, lY], padded by W ---
     PADY = W
@@ -158,6 +163,7 @@ def make_sm3_pallas_problem(pore: PoreModel, target_seq: str, events: np.ndarray
         start=jnp.asarray(san(sm.ragged_start if ragged_left else sm.start)),
         end=jnp.asarray(san(sm.ragged_end if ragged_right else sm.end)),
         tp_scalar=jnp.asarray(san(tp_scalar)),
+        xrank=jnp.asarray(xrank),
     )
     return plan, prob
 
@@ -169,15 +175,16 @@ def stack_problems(probs: list[SM3PallasProblem]) -> SM3PallasProblem:
 def run_sm3_pallas(plan: fb.EnginePlan, W: int, batch: SM3PallasProblem,
                    Bt: int | None = None, stages: int = 4,
                    interpret: bool = False):
-    """Pipeline body: emissions -> forward -> fused backward."""
+    """Pipeline body: emissions -> forward -> fused backward (all
+    kd-diagonal-blocked; F carries a leading NEG_INF halo block)."""
     Dp = batch.diag_scalars.shape[1] - 1
     E = pk.emissions_sm3(batch.x0, batch.yr0, batch.xarr, batch.evr, W, Dp,
-                         interpret=interpret)
+                         kd=pk.KD, interpret=interpret)
     F = pk.forward_sm3(plan, E, batch.diag_scalars, batch.d_last, batch.start,
-                       batch.tp_scalar, Bt=Bt, interpret=interpret)
+                       batch.tp_scalar, Bt=Bt, kd=pk.KD, interpret=interpret)
     p, totals, pgapx, stats = pk.backward_sm3(
         plan, E, F, batch.diag_scalars, batch.d_last, batch.end,
-        batch.tp_scalar, Bt=Bt, stages=stages, interpret=interpret)
+        batch.tp_scalar, Bt=Bt, kd=pk.KD, stages=stages, interpret=interpret)
     return p[:, :, 0, :], totals[:, :, 0, 0], pgapx[:, :, 0, :], stats[:, 0, :]
 
 
@@ -198,3 +205,35 @@ def make_jit_pipeline(plan: fb.EnginePlan, W: int, Bt: int | None = None):
         return run_sm3_pallas(plan, W, batch, Bt=Bt)
 
     return pipeline
+
+
+def sm3_pallas_expectations(plan: fb.EnginePlan, W: int,
+                            batch: SM3PallasProblem, Bt: int | None = None,
+                            interpret: bool = False):
+    """Batched threeState E-step on the Pallas path (the production fast
+    path): fused backward produces per-edge transition tallies + likelihood
+    (stats lanes) and per-cell gapX-entry posteriors (pgapx); the per-kmer
+    scatter happens on device via the xrank pack.  Returns
+    (trans (S, S), kmer_gap (4096,), likelihood) summed over the batch —
+    the same contract as engine.device.sm3_batch_expectations."""
+    _p, _totals, pgx, stats = run_sm3_pallas(plan, W, batch, Bt=Bt,
+                                             interpret=interpret)
+    S = plan.n_states
+    n_e = len(plan.edges)
+    Dp = batch.diag_scalars.shape[1] - 1
+
+    # per-cell k-mer ranks: cell (d, j) sits at xarr column x0[d] + j
+    idx = batch.x0[:, :Dp, None] + jnp.arange(W)[None, None, :]
+    ranks = jax.vmap(jnp.take)(batch.xrank, idx)          # (B, Dp, W)
+
+    def scatter_one(r, p_):
+        return jnp.zeros(NUM_OF_KMERS + 2, p_.dtype).at[r.ravel()].add(p_.ravel())
+
+    kmer_gap = jax.vmap(scatter_one)(ranks, pgx).sum(0)[:NUM_OF_KMERS]
+
+    onehot = np.zeros((n_e, S * S), dtype=np.float32)
+    for ei, e in enumerate(plan.edges):
+        onehot[ei, e.frm * S + e.to] += 1.0
+    trans = (stats[:, :n_e] @ jnp.asarray(onehot)).sum(0).reshape(S, S)
+    lik = stats[:, pk.LIK_LANE].sum()
+    return trans, kmer_gap, lik

@@ -44,6 +44,7 @@ from ..models.state_machines import (SHORT_GAP_X, SRC_LOWER, SRC_MIDDLE,
 
 NEG_INF = -1e30  # finite stand-in: keeps f32 arithmetic NaN-free in-kernel
 _LOG_UNDERFLOW = 7.5
+KD = 8  # diagonals per grid step (all three kernels share the block size)
 
 
 def _ladd(x, y):
@@ -170,25 +171,24 @@ def emissions_sm3(x0, yr0, xarr, evr, W: int, Dp: int, interpret: bool = False,
 # ---------------------------------------------------------------------------
 
 # Packed per-(problem, diagonal) scalar rows (DS_* index the last axis of the
-# (B, Dp+1, 1, 8) diag_scalars tensor).
-DS_FL, DS_FM, DS_BL, DS_BM, DS_W0, DS_XMYL, DS_XMYR, DS_PAD = range(8)
+# (B, Dp+1, 1, 8) diag_scalars tensor).  DS_XS is the x-window step
+# s_d = x0[d] - x0[d-1] in {0, 1} driving the in-kernel gapX accumulator.
+DS_FL, DS_FM, DS_BL, DS_BM, DS_W0, DS_XMYL, DS_XMYR, DS_XS = range(8)
 # stats output lanes: lane e (< n_edges) = edge e transition tally; lane 64 = likelihood
 LIK_LANE = 64
 
 
-def _forward_kernel(plan, Bt, W, E_ref, ds_ref, dlast_ref, start_ref, tps_ref,
-                    F_ref, f1, f2):
+def _forward_kernel(plan, Bt, W, kd, E_ref, ds_ref, dlast_ref, start_ref,
+                    tps_ref, F_ref, f1, f2):
+    """Grid (B/Bt, nb_d + 1): step 0 emits the leading NEG_INF pad block of
+    Fpad (consumed by the blocked backward kernel as the d < 0 halo); steps
+    dk >= 1 run kd diagonals of the recursion from VMEM-resident carries —
+    kd-blocking amortizes the per-grid-step dispatch/DMA overhead that
+    dominates at one-diagonal blocks."""
     S = plan.n_states
-    d = pl.program_id(1)
-
-    ds = ds_ref[:, 0, 0, :]  # (Bt, 8) int32
-    col = lambda i: ds[:, i:i + 1].reshape(Bt, 1, 1)
+    dk = pl.program_id(1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, 1, W), 2)
-    xmy = col(DS_W0) + 2 * lane
-    valid = ((xmy >= col(DS_XMYL)) & (xmy <= col(DS_XMYR))
-             & (d <= dlast_ref[...].reshape(Bt, 1, 1)))
-
-    E = E_ref[:, 0]  # (Bt, C, W)
+    dlast = dlast_ref[...].reshape(Bt, 1, 1)
 
     def tp_of(e):
         t = None
@@ -197,38 +197,62 @@ def _forward_kernel(plan, Bt, W, E_ref, ds_ref, dlast_ref, start_ref, tps_ref,
             t = c if t is None else t + c
         return 0.0 if t is None else t
 
-    @pl.when(d == 0)
+    @pl.when(dk == 0)
     def _():
-        cur = jnp.where(valid, start_ref[...][:, :, None], NEG_INF)
-        cur = jnp.broadcast_to(cur, (Bt, S, W))
-        f1[:] = cur
-        f2[:] = jnp.full((Bt, S, W), NEG_INF, jnp.float32)
-        F_ref[:, 0] = cur
+        F_ref[...] = jnp.full((Bt, kd, S, W), NEG_INF, jnp.float32)
 
-    @pl.when(d > 0)
+    @pl.when(dk > 0)
     def _():
-        sL = col(DS_FL)
-        sM = col(DS_FM)
-        prevL = _shift(f1[:], sL)
-        prevU = _shift(f1[:], sL + 1)
-        prevM = _shift(f2[:], sM)
-        srcs = (prevL, prevM, prevU)
-        acc = [jnp.full((Bt, W), NEG_INF, jnp.float32) for _ in range(S)]
-        for e in plan.edges:
-            val = srcs[e.src][:, e.frm, :] + E[:, e.eclass, :] + tp_of(e)
-            acc[e.to] = _ladd(acc[e.to], val)
-        cur = jnp.stack(acc, axis=1)
-        cur = jnp.where(valid, cur, NEG_INF)
-        F_ref[:, 0] = cur
-        f2[:] = f1[:]
-        f1[:] = cur
+        for k in range(kd):
+            d = (dk - 1) * kd + k
+            ds = ds_ref[:, k, 0, :]  # (Bt, 8) int32
+            col = lambda i: ds[:, i:i + 1].reshape(Bt, 1, 1)
+            xmy = col(DS_W0) + 2 * lane
+            valid = ((xmy >= col(DS_XMYL)) & (xmy <= col(DS_XMYR))
+                     & (d <= dlast))
+
+            if k == 0:
+                @pl.when(dk == 1)
+                def _():
+                    cur = jnp.where(valid, start_ref[...][:, :, None], NEG_INF)
+                    cur = jnp.broadcast_to(cur, (Bt, S, W))
+                    f1[:] = cur
+                    f2[:] = jnp.full((Bt, S, W), NEG_INF, jnp.float32)
+                    F_ref[:, 0] = cur
+
+            def recur(k=k, valid=valid, col=col):
+                sL = col(DS_FL)
+                sM = col(DS_FM)
+                prevL = _shift(f1[:], sL)
+                prevU = _shift(f1[:], sL + 1)
+                prevM = _shift(f2[:], sM)
+                srcs = (prevL, prevM, prevU)
+                E = E_ref[:, k]
+                acc = [jnp.full((Bt, W), NEG_INF, jnp.float32) for _ in range(S)]
+                for e in plan.edges:
+                    val = srcs[e.src][:, e.frm, :] + E[:, e.eclass, :] + tp_of(e)
+                    acc[e.to] = _ladd(acc[e.to], val)
+                cur = jnp.stack(acc, axis=1)
+                cur = jnp.where(valid, cur, NEG_INF)
+                F_ref[:, k] = cur
+                f2[:] = f1[:]
+                f1[:] = cur
+
+            if k == 0:
+                pl.when(dk > 1)(recur)
+            else:
+                recur()
 
 
-def _pick_bt(Bn: int, W: int, Bt: int | None) -> int:
+def _pick_bt(Bn: int, W: int, Bt: int | None, kd: int = 1,
+             vmem_budget: int = 6 * 1024 * 1024) -> int:
     """Problems per block: as many as VMEM comfortably allows (grid-step
-    overhead dominates at small Bt), rounded down to a divisor of Bn."""
+    overhead dominates at small Bt), rounded down to a divisor of Bn.  The
+    budget covers the ~14 (kd, W)-row f32 blocks the backward kernel holds
+    (2xE, 2xF, outputs) plus carries, times double buffering."""
     if Bt is None:
-        Bt = max(8, 16384 // max(W, 1))
+        per_problem = max(kd, 1) * max(W, 1) * 4 * 14 * 2
+        Bt = max(8, vmem_budget // per_problem)
     Bt = min(Bt, Bn)
     while Bn % Bt:
         Bt -= 1
@@ -236,33 +260,48 @@ def _pick_bt(Bn: int, W: int, Bt: int | None) -> int:
 
 
 def forward_sm3(plan: EnginePlan, E, diag_scalars, d_last, start, tp_scalar,
-                Bt: int | None = None, interpret: bool = False):
-    """E (B, >=Dp+1, C, W); diag_scalars (B, Dp+1, 1, 8) int32 (see DS_*);
-    start (B, S); tp_scalar (B, n).  Returns F (B, Dp, S, W)."""
+                Bt: int | None = None, kd: int = 8, interpret: bool = False):
+    """E (B, >=Dp+kd, C, W) with rows >= Dp zero; diag_scalars
+    (B, >=Dp+1, 1, 8) int32 (see DS_*); start (B, S); tp_scalar (B, n).
+    Dp must be a multiple of kd.  Returns Fpad (B, Dp + kd, S, W) whose
+    first kd rows are NEG_INF (the backward halo); real row d lives at
+    kd + d."""
     Bn, _De, C, W = E.shape
     Dp = diag_scalars.shape[1] - 1
     S = plan.n_states
-    Bt = _pick_bt(Bn, W, Bt)
+    assert Dp % kd == 0, (Dp, kd)
+    assert _De >= Dp + kd
+    nb_d = Dp // kd
+    Bt = _pick_bt(Bn, W, Bt, kd)
     nb = Bn // Bt
-    grid = (nb, Dp)
+    grid = (nb, nb_d + 1)
+
+    def dm1(b, dk):
+        return (b, jnp.maximum(dk - 1, 0), 0, 0)
+
     specs = [
-        pl.BlockSpec((Bt, 1, C, W), lambda b, d: (b, d, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, 1, 1, 8), lambda b, d: (b, d, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, 1), lambda b, d: (b, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, S), lambda b, d: (b, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, tp_scalar.shape[1]), lambda b, d: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, kd, C, W), dm1, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, kd, 1, 8), dm1, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1), lambda b, dk: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, S), lambda b, dk: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, tp_scalar.shape[1]), lambda b, dk: (b, 0),
+                     memory_space=pltpu.VMEM),
     ]
+    ds = diag_scalars
+    if ds.shape[1] < nb_d * kd:  # blocked reads need Dp rows exactly
+        ds = jnp.pad(ds, ((0, 0), (0, nb_d * kd - ds.shape[1]), (0, 0), (0, 0)),
+                     mode="edge")
     return pl.pallas_call(
-        partial(_forward_kernel, plan, Bt, W),
+        partial(_forward_kernel, plan, Bt, W, kd),
         grid=grid,
         in_specs=specs,
-        out_specs=pl.BlockSpec((Bt, 1, S, W), lambda b, d: (b, d, 0, 0),
+        out_specs=pl.BlockSpec((Bt, kd, S, W), lambda b, dk: (b, dk, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bn, Dp, S, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bn, Dp + kd, S, W), jnp.float32),
         scratch_shapes=[pltpu.VMEM((Bt, S, W), jnp.float32),
                         pltpu.VMEM((Bt, S, W), jnp.float32)],
         interpret=interpret,
-    )(E, diag_scalars, d_last.reshape(Bn, 1), start, tp_scalar)
+    )(E, ds, d_last.reshape(Bn, 1), start, tp_scalar)
 
 
 # ---------------------------------------------------------------------------
@@ -288,22 +327,23 @@ def _lse_rows(v):
     return jnp.where(m <= NEG_INF, NEG_INF, out)
 
 
-def _backward_kernel(plan, Bt, W, Dp, stages,
-                     E_d_ref, E_d1_ref, E_d2_ref, F_d_ref, F_dm1_ref, F_dm2_ref,
-                     ds_ref, ds1_ref, dlast_ref, end_ref, tps_ref,
+def _backward_kernel(plan, Bt, W, Dp, kd, stages,
+                     Eb0_ref, Eb1_ref, Fp0_ref, Fp1_ref,
+                     dsb0_ref, dsb1_ref, dlast_ref, end_ref, tps_ref,
                      p_ref, tot_ref, pgx_ref, stats_ref,
                      b1, b2, stats_acc):
+    """Grid (B/Bt, Dp/kd), walking diagonal blocks high-to-low; each step
+    runs kd diagonals of the fused backward (recursion + totals + posteriors
+    + EM tallies) against block-resident E/Fpad halos — row j0 of block bidx
+    is diagonal d = bidx*kd + j0; Fpad carries a kd-row NEG_INF halo so
+    d-1/d-2 reads at the low edge see NEG_INF exactly like the scan/window
+    engines."""
     S = plan.n_states
-    t = pl.program_id(1)
-    d = Dp - 1 - t
-
-    ds = ds_ref[:, 0, 0, :]    # (Bt, 8) scalars at diagonal d
-    ds1 = ds1_ref[:, 0, 0, :]  # scalars at diagonal d+1
-    col = lambda i: ds[:, i:i + 1].reshape(Bt, 1, 1)
+    tb = pl.program_id(1)
+    nb_d = Dp // kd
     lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, 1, W), 2)
-    xmy = col(DS_W0) + 2 * lane
     dlast = dlast_ref[...].reshape(Bt, 1, 1)
-    valid = (xmy >= col(DS_XMYL)) & (xmy <= col(DS_XMYR)) & (d <= dlast)
+    stats_lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, 128), 1)
 
     def tp_of(e):
         tval = None
@@ -312,154 +352,171 @@ def _backward_kernel(plan, Bt, W, Dp, stages,
             tval = c if tval is None else tval + c
         return 0.0 if tval is None else tval
 
-    @pl.when(t == 0)
+    @pl.when(tb == 0)
     def _():
         b1[:] = jnp.full((Bt, S, W), NEG_INF, jnp.float32)
         b2[:] = jnp.full((Bt, S, W), NEG_INF, jnp.float32)
         stats_acc[...] = jnp.zeros_like(stats_acc)
 
-    E_d = E_d_ref[:, 0]
-    E_d1 = E_d1_ref[:, 0]
-    E_d2 = E_d2_ref[:, 0]
-    F_d = F_d_ref[:, 0]
-    F_dm1 = F_dm1_ref[:, 0]
-    F_dm2 = F_dm2_ref[:, 0]
+    for k in range(kd):
+        j0 = kd - 1 - k
+        d = (nb_d - 1 - tb) * kd + j0  # traced diagonal index
 
-    sbL = col(DS_BL)
-    sbM = col(DS_BM)
+        ds = dsb0_ref[:, j0, 0, :]
+        ds1 = (dsb0_ref[:, j0 + 1, 0, :] if j0 + 1 < kd
+               else dsb1_ref[:, 0, 0, :])
+        col = lambda i, _ds=ds: _ds[:, i:i + 1].reshape(Bt, 1, 1)
+        xmy = col(DS_W0) + 2 * lane
+        valid = (xmy >= col(DS_XMYL)) & (xmy <= col(DS_XMYR)) & (d <= dlast)
 
-    # --- backward recursion for diagonal d ---
-    acc = [jnp.full((Bt, W), NEG_INF, jnp.float32) for _ in range(S)]
-    for e in plan.edges:
-        if e.src == SRC_LOWER:
-            sh, bN, EN = sbL, b1[:], E_d1
-        elif e.src == SRC_UPPER:
-            sh, bN, EN = sbL - 1, b1[:], E_d1
-        else:
-            sh, bN, EN = sbM, b2[:], E_d2
-        val = (_shift(bN[:, e.to:e.to + 1, :], sh)[:, 0, :]
-               + _shift(EN[:, e.eclass:e.eclass + 1, :], sh, fill=0.0)[:, 0, :]
-               + tp_of(e))
-        acc[e.frm] = _ladd(acc[e.frm], val)
-    cur = jnp.stack(acc, axis=1)
-    # inject end-state probs at each problem's last real diagonal
-    cur = jnp.where(d == dlast, end_ref[...][:, :, None], cur)
-    cur = jnp.where(valid, cur, NEG_INF)
+        E_d = Eb0_ref[:, j0]
+        E_d1 = Eb0_ref[:, j0 + 1] if j0 + 1 < kd else Eb1_ref[:, 0]
+        E_d2 = Eb0_ref[:, j0 + 2] if j0 + 2 < kd else Eb1_ref[:, j0 + 2 - kd]
+        # Fpad row for F[d+off] is (bidx+1)*kd + j0 + off: block bidx+1 when
+        # j0+off >= 0, else it wraps into block bidx's tail
+        F_d = Fp1_ref[:, j0]
+        F_dm1 = Fp1_ref[:, j0 - 1] if j0 >= 1 else Fp0_ref[:, kd - 1]
+        F_dm2 = Fp1_ref[:, j0 - 2] if j0 >= 2 else Fp0_ref[:, kd - 2 + j0]
 
-    # --- per-diagonal total probability ---
-    if stages >= 2:
-        vmask = jnp.where(valid, 0.0, NEG_INF)
-        t1 = _lse_rows(F_d + cur + vmask)
-        # match-through-diagonal correction: forward-extend F[d-1] by MIDDLE
-        # edges onto diag d+1's grid, dot with b_{d+1}
-        sM1 = ds1[:, DS_FM:DS_FM + 1].reshape(Bt, 1, 1)
-        c_acc = [jnp.full((Bt, W), NEG_INF, jnp.float32) for _ in range(S)]
+        sbL = col(DS_BL)
+        sbM = col(DS_BM)
+
+        # --- backward recursion for diagonal d ---
+        acc = [jnp.full((Bt, W), NEG_INF, jnp.float32) for _ in range(S)]
         for e in plan.edges:
-            if e.src != SRC_MIDDLE:
-                continue
-            val = (_shift(F_dm1[:, e.frm:e.frm + 1, :], sM1)[:, 0, :]
-                   + E_d1[:, e.eclass, :] + tp_of(e))
-            c_acc[e.to] = _ladd(c_acc[e.to], val)
-        c = jnp.stack(c_acc, axis=1)
-        t2 = _lse_rows(c + b1[:])
-        have_t2 = (d >= 1) & (d < Dp - 1)
-        total = jnp.where(have_t2, _ladd(t1, t2), t1)   # (Bt, 1)
-        tot_ref[:, 0, 0, :] = total
-    else:
-        total = jnp.zeros((Bt, 1), jnp.float32)
-        tot_ref[:, 0, 0, :] = total
+            if e.src == SRC_LOWER:
+                sh, bN, EN = sbL, b1[:], E_d1
+            elif e.src == SRC_UPPER:
+                sh, bN, EN = sbL - 1, b1[:], E_d1
+            else:
+                sh, bN, EN = sbM, b2[:], E_d2
+            val = (_shift(bN[:, e.to:e.to + 1, :], sh)[:, 0, :]
+                   + _shift(EN[:, e.eclass:e.eclass + 1, :], sh, fill=0.0)[:, 0, :]
+                   + tp_of(e))
+            acc[e.frm] = _ladd(acc[e.frm], val)
+        cur = jnp.stack(acc, axis=1)
+        # inject end-state probs at each problem's last real diagonal
+        cur = jnp.where(d == dlast, end_ref[...][:, :, None], cur)
+        cur = jnp.where(valid, cur, NEG_INF)
 
-    # --- posterior match probabilities ---
-    if stages >= 3:
-        m = plan.match_state
-        x_pos = xmy > -d   # x > 0
-        y_pos = xmy < d    # y > 0
-        p = jnp.exp(jnp.minimum(F_d[:, m, :] + cur[:, m, :] - total, 0.0))
-        p = jnp.where((valid & x_pos & y_pos)[:, 0, :], p, 0.0)
-        p_ref[:, 0, 0] = p
-    else:
-        p_ref[:, 0, 0] = cur[:, plan.match_state, :]
+        # --- per-diagonal total probability ---
+        if stages >= 2:
+            vmask = jnp.where(valid, 0.0, NEG_INF)
+            t1 = _lse_rows(F_d + cur + vmask)
+            # match-through-diagonal correction: forward-extend F[d-1] by
+            # MIDDLE edges onto diag d+1's grid, dot with b_{d+1}
+            sM1 = ds1[:, DS_FM:DS_FM + 1].reshape(Bt, 1, 1)
+            c_acc = [jnp.full((Bt, W), NEG_INF, jnp.float32) for _ in range(S)]
+            for e in plan.edges:
+                if e.src != SRC_MIDDLE:
+                    continue
+                val = (_shift(F_dm1[:, e.frm:e.frm + 1, :], sM1)[:, 0, :]
+                       + E_d1[:, e.eclass, :] + tp_of(e))
+                c_acc[e.to] = _ladd(c_acc[e.to], val)
+            c = jnp.stack(c_acc, axis=1)
+            t2 = _lse_rows(c + b1[:])
+            have_t2 = (d >= 1) & (d < Dp - 1)
+            total = jnp.where(have_t2, _ladd(t1, t2), t1)   # (Bt, 1)
+            tot_ref[:, j0, 0, :] = total
+        else:
+            total = jnp.zeros((Bt, 1), jnp.float32)
+            tot_ref[:, j0, 0, :] = total
 
-    # --- EM tallies: per-edge posterior sums + likelihood, accumulated as
-    # lane-masked adds into the (Bt, 1, 128) stats block (lane e = edge e's
-    # transition tally; lane 64 = likelihood) ---
-    if stages >= 4:
-        sfL = col(DS_FL)
-        sfM = col(DS_FM)
-        srcL = _shift(F_dm1, sfL)
-        srcU = _shift(F_dm1, sfL + 1)
-        srcM = _shift(F_dm2, sfM)
-        srcs = (srcL, srcM, srcU)
-        em_ok = (valid[:, 0, :]) & (d >= 1)
-        stats_lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, 128), 1)
-        add = jnp.zeros((Bt, 128), jnp.float32)
-        pgx = jnp.zeros((Bt, W), jnp.float32)
-        for ei, e in enumerate(plan.edges):
-            logp = (srcs[e.src][:, e.frm, :] + cur[:, e.to, :]
-                    + E_d[:, e.eclass, :] + tp_of(e) - total)
-            pe = jnp.where(em_ok, jnp.exp(jnp.minimum(logp, 0.0)), 0.0)
-            pe_sum = jnp.sum(pe, axis=1, keepdims=True)   # (Bt, 1)
-            add = add + jnp.where(stats_lane == ei, pe_sum, 0.0)
-            if e.to == SHORT_GAP_X:
-                pgx = pgx + pe
-        lik_d = jnp.where((d >= 1) & (d <= dlast[:, :, 0]), total, 0.0)
-        add = add + jnp.where(stats_lane == LIK_LANE, lik_d, 0.0)
-        stats_acc[...] += add
-        pgx_ref[:, 0, 0] = pgx
-    else:
-        pgx_ref[:, 0, 0] = jnp.zeros((Bt, W), jnp.float32)
+        # --- posterior match probabilities ---
+        if stages >= 3:
+            m = plan.match_state
+            x_pos = xmy > -d   # x > 0
+            y_pos = xmy < d    # y > 0
+            p = jnp.exp(jnp.minimum(F_d[:, m, :] + cur[:, m, :] - total, 0.0))
+            p = jnp.where((valid & x_pos & y_pos)[:, 0, :], p, 0.0)
+            p_ref[:, j0, 0] = p
+        else:
+            p_ref[:, j0, 0] = cur[:, plan.match_state, :]
+
+        # --- EM tallies: per-edge posterior sums + likelihood, accumulated
+        # as lane-masked adds into the (Bt, 128) stats scratch (lane e =
+        # edge e's transition tally; lane 64 = likelihood) ---
+        if stages >= 4:
+            sfL = col(DS_FL)
+            sfM = col(DS_FM)
+            srcL = _shift(F_dm1, sfL)
+            srcU = _shift(F_dm1, sfL + 1)
+            srcM = _shift(F_dm2, sfM)
+            srcs = (srcL, srcM, srcU)
+            em_ok = (valid[:, 0, :]) & (d >= 1)
+            add = jnp.zeros((Bt, 128), jnp.float32)
+            pgx = jnp.zeros((Bt, W), jnp.float32)
+            for ei, e in enumerate(plan.edges):
+                logp = (srcs[e.src][:, e.frm, :] + cur[:, e.to, :]
+                        + E_d[:, e.eclass, :] + tp_of(e) - total)
+                pe = jnp.where(em_ok, jnp.exp(jnp.minimum(logp, 0.0)), 0.0)
+                pe_sum = jnp.sum(pe, axis=1, keepdims=True)   # (Bt, 1)
+                add = add + jnp.where(stats_lane == ei, pe_sum, 0.0)
+                if e.to == SHORT_GAP_X:
+                    pgx = pgx + pe
+            lik_d = jnp.where((d >= 1) & (d <= dlast[:, :, 0]), total, 0.0)
+            add = add + jnp.where(stats_lane == LIK_LANE, lik_d, 0.0)
+            stats_acc[...] += add
+            pgx_ref[:, j0, 0] = pgx
+        else:
+            pgx_ref[:, j0, 0] = jnp.zeros((Bt, W), jnp.float32)
+
+        # rotate carries
+        b2[:] = b1[:]
+        b1[:] = cur
 
     # flush the scratch accumulator into the (write-once) output at the end
-    @pl.when(t == Dp - 1)
+    @pl.when(tb == nb_d - 1)
     def _():
         stats_ref[:, 0, :] = stats_acc[...]
 
-    # rotate carries
-    b2[:] = b1[:]
-    b1[:] = cur
 
-
-def backward_sm3(plan: EnginePlan, E, F, diag_scalars, d_last, end, tp_scalar,
-                 Bt: int | None = None, stages: int = 4,
-                 interpret: bool = False):
-    """Fused backward pass.  Returns (p (B,Dp,1,W), totals (B,Dp,1,1),
-    pgapx (B,Dp,1,W), stats (B,1,128): lane e = edge-e transition tally,
-    lane LIK_LANE = likelihood).  ``stages`` gates debug subsets (1 = bare
-    recursion, 2 = +totals/posteriors, 3 = +EM tallies)."""
+def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
+                 tp_scalar, Bt: int | None = None, kd: int = 8,
+                 stages: int = 4, interpret: bool = False):
+    """Fused backward pass over kd-diagonal blocks.  ``Fpad`` is the forward
+    kernel's output (B, Dp + kd, S, W) with a kd-row NEG_INF halo in front;
+    E must have >= Dp + kd rows with rows >= Dp zero.  Returns
+    (p (B,Dp,1,W), totals (B,Dp,1,1), pgapx (B,Dp,1,W), stats (B,1,128):
+    lane e = edge-e transition tally, lane LIK_LANE = likelihood).
+    ``stages`` gates debug subsets (1 = bare recursion, 2 = +totals,
+    3 = +posteriors, 4 = +EM tallies)."""
     Bn, _De, C, W = E.shape
     Dp = diag_scalars.shape[1] - 1
     S = plan.n_states
-    Bt = _pick_bt(Bn, W, Bt)
+    assert Dp % kd == 0, (Dp, kd)
+    assert _De >= Dp + kd and Fpad.shape[1] == Dp + kd
+    nb_d = Dp // kd
+    Bt = _pick_bt(Bn, W, Bt, kd)
     nb = Bn // Bt
 
-    def erow(off):
-        return lambda b, t: (b, jnp.clip(Dp - 1 - t + off, 0, Dp), 0, 0)
+    def eblk(off):
+        return lambda b, t: (b, nb_d - 1 - t + off, 0, 0)
 
-    def frow(off):
-        return lambda b, t: (b, jnp.clip(Dp - 1 - t + off, 0, Dp - 1), 0, 0)
+    ds = diag_scalars
+    need = (nb_d + 1) * kd
+    if ds.shape[1] < need:  # row Dp.. replicate the last real row
+        ds = jnp.pad(ds, ((0, 0), (0, need - ds.shape[1]), (0, 0), (0, 0)),
+                     mode="edge")
 
     in_specs = [
-        pl.BlockSpec((Bt, 1, C, W), erow(0), memory_space=pltpu.VMEM),   # E_d
-        pl.BlockSpec((Bt, 1, C, W), erow(1), memory_space=pltpu.VMEM),   # E_d1
-        pl.BlockSpec((Bt, 1, C, W), erow(2), memory_space=pltpu.VMEM),   # E_d2
-        pl.BlockSpec((Bt, 1, S, W), frow(0), memory_space=pltpu.VMEM),   # F_d
-        pl.BlockSpec((Bt, 1, S, W), frow(-1), memory_space=pltpu.VMEM),  # F_dm1
-        pl.BlockSpec((Bt, 1, S, W), frow(-2), memory_space=pltpu.VMEM),  # F_dm2
-        pl.BlockSpec((Bt, 1, 1, 8), erow(0), memory_space=pltpu.VMEM),   # ds at d
-        pl.BlockSpec((Bt, 1, 1, 8), erow(1), memory_space=pltpu.VMEM),   # ds at d+1
+        pl.BlockSpec((Bt, kd, C, W), eblk(0), memory_space=pltpu.VMEM),  # E b0
+        pl.BlockSpec((Bt, kd, C, W), eblk(1), memory_space=pltpu.VMEM),  # E b1
+        pl.BlockSpec((Bt, kd, S, W), eblk(0), memory_space=pltpu.VMEM),  # Fp b0
+        pl.BlockSpec((Bt, kd, S, W), eblk(1), memory_space=pltpu.VMEM),  # Fp b1
+        pl.BlockSpec((Bt, kd, 1, 8), eblk(0), memory_space=pltpu.VMEM),  # ds b0
+        pl.BlockSpec((Bt, kd, 1, 8), eblk(1), memory_space=pltpu.VMEM),  # ds b1
         pl.BlockSpec((Bt, 1), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, S), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, tp_scalar.shape[1]), lambda b, t: (b, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_specs = (
-        pl.BlockSpec((Bt, 1, 1, W), lambda b, t: (b, Dp - 1 - t, 0, 0),
+        pl.BlockSpec((Bt, kd, 1, W), eblk(0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, kd, 1, 1), eblk(0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, kd, 1, W), eblk(0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1, 128), lambda b, t: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, 1, 1, 1), lambda b, t: (b, Dp - 1 - t, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, 1, 1, W), lambda b, t: (b, Dp - 1 - t, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, 1, 128), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
     )
     out_shape = (
         jax.ShapeDtypeStruct((Bn, Dp, 1, W), jnp.float32),
@@ -468,8 +525,8 @@ def backward_sm3(plan: EnginePlan, E, F, diag_scalars, d_last, end, tp_scalar,
         jax.ShapeDtypeStruct((Bn, 1, 128), jnp.float32),
     )
     return pl.pallas_call(
-        partial(_backward_kernel, plan, Bt, W, Dp, stages),
-        grid=(nb, Dp),
+        partial(_backward_kernel, plan, Bt, W, Dp, kd, stages),
+        grid=(nb, nb_d),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -477,5 +534,5 @@ def backward_sm3(plan: EnginePlan, E, F, diag_scalars, d_last, end, tp_scalar,
                         pltpu.VMEM((Bt, S, W), jnp.float32),
                         pltpu.VMEM((Bt, 128), jnp.float32)],
         interpret=interpret,
-    )(E, E, E, F, F, F, diag_scalars, diag_scalars,
+    )(E, E, Fpad, Fpad, ds, ds,
       d_last.reshape(Bn, 1), end, tp_scalar)

@@ -102,3 +102,39 @@ def distributed_train_step(plan: fb.EnginePlan, W: int, mesh: Mesh,
     trans, kmer_gap, lik = distributed_em_step(plan, W, mesh, batch)
     trans_n, kmer_n = em_m_step(trans, kmer_gap)
     return trans_n, kmer_n, lik
+
+
+def pallas_em_step_fn(plan: fb.EnginePlan, W: int, mesh: Mesh, batch_like,
+                      Bt: int | None = None, interpret: bool = False):
+    """Jitted distributed E-step on the Pallas fast path (the production
+    route: ops/pallas_fb kernels -> on-device kmer scatter -> psum).  The
+    scan-engine step (em_step_fn) remains as the portable/f64 fallback."""
+    from jax import shard_map
+
+    from ..engine import pallas_pipeline as pp
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(jax.tree.map(lambda _: P("data"), batch_like),),
+             out_specs=(P(), P(), P()),
+             check_vma=False)  # pallas_call outputs carry no vma info
+    def step(local_batch):
+        trans, kmer_gap, lik = pp.sm3_pallas_expectations(
+            plan, W, local_batch, Bt=Bt, interpret=interpret)
+        return (jax.lax.psum(trans, "data"), jax.lax.psum(kmer_gap, "data"),
+                jax.lax.psum(lik, "data"))
+
+    return jax.jit(step)
+
+
+def distributed_train_step_pallas(plan: fb.EnginePlan, W: int, mesh: Mesh,
+                                  batch, presharded: bool = False,
+                                  Bt: int | None = None,
+                                  interpret: bool = False):
+    """Distributed EM training step driven by the Pallas kernels:
+    E-step (fused backward EM tallies) + psum + M-step."""
+    if not presharded:
+        batch = shard_batch(batch, mesh)
+    trans, kmer_gap, lik = pallas_em_step_fn(plan, W, mesh, batch, Bt=Bt,
+                                             interpret=interpret)(batch)
+    trans_n, kmer_n = em_m_step(trans, kmer_gap)
+    return trans_n, kmer_n, lik

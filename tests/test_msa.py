@@ -39,3 +39,34 @@ def test_make_alignment_related_seqs():
     assert len(full_cols) > 30
     same_pos = sum(1 for c in full_cols if len({p for _, p in c}) == 1)
     assert same_pos / len(full_cols) > 0.8
+
+
+def test_make_alignment_spanning_tree_rounds():
+    """Distance-matrix-guided extra spanning trees + progressive merging
+    (makeAlignment, multipleAligner.c:892-944; getNextBestPair :866)."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    base = "".join(rng.choice(list("ACGT"), 120))
+
+    def mutate(s, p):
+        out = []
+        for c in s:
+            r = rng.random()
+            if r < p:
+                out.append(str(rng.choice([b for b in "ACGT" if b != c])))
+            else:
+                out.append(c)
+        return "".join(out)
+
+    seqs = [mutate(base, 0.03 * i) for i in range(6)]
+    params = AlignmentParams(threshold=0.3)
+
+    for progressive in (False, True):
+        msa = make_alignment(seqs, spanning_trees=2, params=params,
+                             use_progressive_merging=progressive)
+        n_alignments = {(t[1], t[3]) for t in msa.pairwise_pairs}
+        # initial star = 5 alignments; the distance-guided round must add more
+        assert len(n_alignments) > 5, (progressive, n_alignments)
+        assert len(msa.consistent_pairs) > 0.7 * len(msa.pairwise_pairs)
+        deep = [c for c in msa.columns if len(c) >= 4]
+        assert len(deep) > 40, (progressive, len(deep))
