@@ -152,6 +152,7 @@ def make_sm3_pallas_problem(pore: PoreModel, target_seq: str, events: np.ndarray
     ds[:Dp, 0, pk.DS_W0] = w0
     ds[:Dp, 0, pk.DS_XMYL] = xmyL
     ds[:Dp, 0, pk.DS_XMYR] = xmyR
+    ds[1:Dp, 0, pk.DS_XS] = x0[1:Dp] - x0[:Dp - 1]  # x-window step, in {0,1}
     ds[Dp] = ds[Dp - 1]  # row Dp: read when the kernel peeks at d+1 off the end
 
     prob = SM3PallasProblem(
@@ -182,10 +183,28 @@ def run_sm3_pallas(plan: fb.EnginePlan, W: int, batch: SM3PallasProblem,
                          kd=pk.KD, interpret=interpret)
     F = pk.forward_sm3(plan, E, batch.diag_scalars, batch.d_last, batch.start,
                        batch.tp_scalar, Bt=Bt, kd=pk.KD, interpret=interpret)
-    p, totals, pgapx, stats = pk.backward_sm3(
+    p, totals, exits, gacc, stats = pk.backward_sm3(
         plan, E, F, batch.diag_scalars, batch.d_last, batch.end,
         batch.tp_scalar, Bt=Bt, kd=pk.KD, stages=stages, interpret=interpret)
-    return p[:, :, 0, :], totals[:, :, 0, 0], pgapx[:, :, 0, :], stats[:, 0, :]
+    return (p[:, :, 0, :], totals[:, :, 0, 0], exits[:, :, 0, 0],
+            gacc[:, 0, :], stats[:, 0, :])
+
+
+def gapx_kmer_tallies(batch: SM3PallasProblem, W: int, exits, gacc):
+    """Scatter the kernel's compact gapX outputs into per-kmer tallies:
+    exits[d] belongs to x-column x0[d] + W - 1, gacc lane j to x0[0] + j
+    (see backward_sm3).  O(B * (Dp + W)) scatter instead of per-cell."""
+    Dp = exits.shape[1]
+    exit_idx = batch.x0[:, :Dp] + (W - 1)          # (B, Dp)
+    final_idx = batch.x0[:, 0:1] + jnp.arange(W)[None, :]
+
+    def one(xr, ei, ev, fi, fv):
+        t = jnp.zeros(NUM_OF_KMERS + 2, ev.dtype)
+        t = t.at[xr[ei]].add(ev)
+        t = t.at[xr[fi]].add(fv)
+        return t
+
+    return jax.vmap(one)(batch.xrank, exit_idx, exits, final_idx, gacc)
 
 
 def unpack_stats(plan: fb.EnginePlan, stats: np.ndarray):
@@ -212,24 +231,16 @@ def sm3_pallas_expectations(plan: fb.EnginePlan, W: int,
                             interpret: bool = False):
     """Batched threeState E-step on the Pallas path (the production fast
     path): fused backward produces per-edge transition tallies + likelihood
-    (stats lanes) and per-cell gapX-entry posteriors (pgapx); the per-kmer
+    (stats lanes) and windowed gapX-entry tallies (exits/gacc); the per-kmer
     scatter happens on device via the xrank pack.  Returns
     (trans (S, S), kmer_gap (4096,), likelihood) summed over the batch —
     the same contract as engine.device.sm3_batch_expectations."""
-    _p, _totals, pgx, stats = run_sm3_pallas(plan, W, batch, Bt=Bt,
-                                             interpret=interpret)
+    _p, _totals, exits, gacc, stats = run_sm3_pallas(plan, W, batch, Bt=Bt,
+                                                     interpret=interpret)
     S = plan.n_states
     n_e = len(plan.edges)
-    Dp = batch.diag_scalars.shape[1] - 1
 
-    # per-cell k-mer ranks: cell (d, j) sits at xarr column x0[d] + j
-    idx = batch.x0[:, :Dp, None] + jnp.arange(W)[None, None, :]
-    ranks = jax.vmap(jnp.take)(batch.xrank, idx)          # (B, Dp, W)
-
-    def scatter_one(r, p_):
-        return jnp.zeros(NUM_OF_KMERS + 2, p_.dtype).at[r.ravel()].add(p_.ravel())
-
-    kmer_gap = jax.vmap(scatter_one)(ranks, pgx).sum(0)[:NUM_OF_KMERS]
+    kmer_gap = gapx_kmer_tallies(batch, W, exits, gacc).sum(0)[:NUM_OF_KMERS]
 
     onehot = np.zeros((n_e, S * S), dtype=np.float32)
     for ei, e in enumerate(plan.edges):

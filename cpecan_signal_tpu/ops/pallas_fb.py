@@ -330,8 +330,8 @@ def _lse_rows(v):
 def _backward_kernel(plan, Bt, W, Dp, kd, stages,
                      Eb0_ref, Eb1_ref, Fp0_ref, Fp1_ref,
                      dsb0_ref, dsb1_ref, dlast_ref, end_ref, tps_ref,
-                     p_ref, tot_ref, pgx_ref, stats_ref,
-                     b1, b2, stats_acc):
+                     p_ref, tot_ref, exit_ref, gacc_ref, stats_ref,
+                     b1, b2, stats_acc, gacc):
     """Grid (B/Bt, Dp/kd), walking diagonal blocks high-to-low; each step
     runs kd diagonals of the fused backward (recursion + totals + posteriors
     + EM tallies) against block-resident E/Fpad halos — row j0 of block bidx
@@ -357,6 +357,7 @@ def _backward_kernel(plan, Bt, W, Dp, kd, stages,
         b1[:] = jnp.full((Bt, S, W), NEG_INF, jnp.float32)
         b2[:] = jnp.full((Bt, S, W), NEG_INF, jnp.float32)
         stats_acc[...] = jnp.zeros_like(stats_acc)
+        gacc[...] = jnp.zeros_like(gacc)
 
     for k in range(kd):
         j0 = kd - 1 - k
@@ -435,7 +436,13 @@ def _backward_kernel(plan, Bt, W, Dp, kd, stages,
 
         # --- EM tallies: per-edge posterior sums + likelihood, accumulated
         # as lane-masked adds into the (Bt, 128) stats scratch (lane e =
-        # edge e's transition tally; lane 64 = likelihood) ---
+        # edge e's transition tally; lane 64 = likelihood).  gapX-entry
+        # posteriors accumulate in a window-tracking (Bt, W) scratch whose
+        # lane j means x = x0[d] + j; when the window steps right between
+        # diagonals (s_d = 1, DS_XS) the lane that leaves on the right is
+        # emitted to exit_ref[d] (its x is x0[d] + W - 1) — this keeps the
+        # per-kmer scatter outside the kernel at O(B * (Dp + W)) instead of
+        # O(B * Dp * W) ---
         if stages >= 4:
             sfL = col(DS_FL)
             sfM = col(DS_FM)
@@ -457,18 +464,24 @@ def _backward_kernel(plan, Bt, W, Dp, kd, stages,
             lik_d = jnp.where((d >= 1) & (d <= dlast[:, :, 0]), total, 0.0)
             add = add + jnp.where(stats_lane == LIK_LANE, lik_d, 0.0)
             stats_acc[...] += add
-            pgx_ref[:, j0, 0] = pgx
+            acc = gacc[...] + pgx
+            s = ds[:, DS_XS:DS_XS + 1]                      # (Bt, 1) in {0,1}
+            exit_ref[:, j0, 0, :] = jnp.where(s == 1, acc[:, W - 1:W], 0.0)
+            shifted = _shift(acc[:, None, :], -s.reshape(Bt, 1, 1),
+                             fill=0.0)[:, 0, :]
+            gacc[...] = jnp.where(s == 1, shifted, acc)
         else:
-            pgx_ref[:, j0, 0] = jnp.zeros((Bt, W), jnp.float32)
+            exit_ref[:, j0, 0, :] = jnp.zeros((Bt, 1), jnp.float32)
 
         # rotate carries
         b2[:] = b1[:]
         b1[:] = cur
 
-    # flush the scratch accumulator into the (write-once) output at the end
+    # flush the scratch accumulators into the (write-once) outputs at the end
     @pl.when(tb == nb_d - 1)
     def _():
         stats_ref[:, 0, :] = stats_acc[...]
+        gacc_ref[:, 0, :] = gacc[...]
 
 
 def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
@@ -477,10 +490,12 @@ def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
     """Fused backward pass over kd-diagonal blocks.  ``Fpad`` is the forward
     kernel's output (B, Dp + kd, S, W) with a kd-row NEG_INF halo in front;
     E must have >= Dp + kd rows with rows >= Dp zero.  Returns
-    (p (B,Dp,1,W), totals (B,Dp,1,1), pgapx (B,Dp,1,W), stats (B,1,128):
-    lane e = edge-e transition tally, lane LIK_LANE = likelihood).
-    ``stages`` gates debug subsets (1 = bare recursion, 2 = +totals,
-    3 = +posteriors, 4 = +EM tallies)."""
+    (p (B,Dp,1,W), totals (B,Dp,1,1), exits (B,Dp,1,1), gacc (B,1,W),
+    stats (B,1,128): lane e = edge-e transition tally, lane LIK_LANE =
+    likelihood).  exits[d] carries the gapX-entry posterior mass for
+    x = x0[d] + W - 1 where DS_XS[d] == 1 (else 0); gacc lane j carries the
+    remaining mass for x = x0[0] + j.  ``stages`` gates debug subsets
+    (1 = bare recursion, 2 = +totals, 3 = +posteriors, 4 = +EM tallies)."""
     Bn, _De, C, W = E.shape
     Dp = diag_scalars.shape[1] - 1
     S = plan.n_states
@@ -514,14 +529,17 @@ def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
     out_specs = (
         pl.BlockSpec((Bt, kd, 1, W), eblk(0), memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, kd, 1, 1), eblk(0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, kd, 1, W), eblk(0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, kd, 1, 1), eblk(0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, 1, W), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, 1, 128), lambda b, t: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     )
     out_shape = (
         jax.ShapeDtypeStruct((Bn, Dp, 1, W), jnp.float32),
         jax.ShapeDtypeStruct((Bn, Dp, 1, 1), jnp.float32),
-        jax.ShapeDtypeStruct((Bn, Dp, 1, W), jnp.float32),
+        jax.ShapeDtypeStruct((Bn, Dp, 1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Bn, 1, W), jnp.float32),
         jax.ShapeDtypeStruct((Bn, 1, 128), jnp.float32),
     )
     return pl.pallas_call(
@@ -532,7 +550,8 @@ def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((Bt, S, W), jnp.float32),
                         pltpu.VMEM((Bt, S, W), jnp.float32),
-                        pltpu.VMEM((Bt, 128), jnp.float32)],
+                        pltpu.VMEM((Bt, 128), jnp.float32),
+                        pltpu.VMEM((Bt, W), jnp.float32)],
         interpret=interpret,
     )(E, E, Fpad, Fpad, ds, ds,
       d_last.reshape(Bn, 1), end, tp_scalar)

@@ -9,5 +9,6 @@ void fastaRead(FILE *fastaFile,
                void (*addSequence)(void *destination, const char *name,
                                    const char *sequence, int64_t length),
                void *destination);
+void fastaWrite(char *sequence, char *header, FILE *file);
 
 #endif

@@ -4,6 +4,10 @@
 #define COMMON_C_H_
 
 #include <stdint.h>
+#include <string.h>
+
+/* temp-file helper used by getBlastPairs' lastz shell-out */
+char *getTempFile(void);
 
 struct List {
     int64_t length;

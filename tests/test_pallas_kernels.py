@@ -45,8 +45,9 @@ def test_pallas_pipeline_matches_window_engine():
     D, W = wband.n_diagonals, wband.W
 
     batch = pp.stack_problems([prob, prob])
-    p_k, tot_k, pgx_k, stats_k = [np.asarray(o) for o in
-                                  pp.run_sm3_pallas(plan, W, batch, Bt=2, interpret=True)]
+    p_k, tot_k, exits_k, gacc_k, stats_k = [
+        np.asarray(o) for o in
+        pp.run_sm3_pallas(plan, W, batch, Bt=2, interpret=True)]
     trans_k, lik_k = pp.unpack_stats(plan, stats_k)
 
     sm = make_signal_sm3(pore, ref_seq, events)
@@ -69,10 +70,9 @@ def test_pallas_pipeline_matches_window_engine():
     # both batch rows identical
     np.testing.assert_allclose(p_k[0], p_k[1])
 
-    # per-kmer gapX tallies via the pgapx rows + host scatter
-    ranks = np.asarray(winp.aux["rank"])
-    kmer_gap = np.zeros(4098)
-    np.add.at(kmer_gap, ranks.ravel(), pgx_k[0][:D].ravel())
+    # per-kmer gapX tallies via the compact exit/window outputs
+    kmer_gap = np.asarray(pp.gapx_kmer_tallies(
+        batch, W, jnp.asarray(exits_k), jnp.asarray(gacc_k)))[0]
     np.testing.assert_allclose(kmer_gap[:4096], np.asarray(kmer_h), rtol=1e-3,
                                atol=1e-5)
 
