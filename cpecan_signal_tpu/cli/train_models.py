@@ -178,6 +178,9 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
                 st["bins"] = acc.bins
             elif sm_type == "threeStateHdp":
                 st["transitions"] = acc.to_sm3_params()
+                log(f"train_models - iteration {it} strand {strand}: "
+                    f"{acc.n_assignments} assignments, "
+                    f"likelihood {acc.likelihood:.2f}")
                 # rebuild the strand HDP from this iteration's assignments
                 # (trainModels.py:321-324 -> vanillaAlign --buildHDP each
                 # iteration) and reload densities for the next E-step

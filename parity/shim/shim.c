@@ -18,7 +18,12 @@
 /* ---- memory / error / logging ---- */
 
 void *st_malloc(size_t size) {
-    void *p = malloc(size == 0 ? 1 : size);
+    /* +8 slack: the reference's emissions_vanilla_initializeEmissionsMatrices
+     * (stateMachine.c:209-215) allocates `1 + N*sizeof(double)` bytes but
+     * memsets `(1+N)*sizeof(double)` — a 7-byte overrun that glibc's
+     * size-class rounding hides in the original build.  The shim reproduces
+     * that tolerance rather than the crash. */
+    void *p = malloc(size + 8);
     if (p == NULL) {
         fprintf(stderr, "st_malloc: out of memory (%zu bytes)\n", size);
         exit(1);
@@ -249,23 +254,8 @@ void stList_destructIterator(stListIterator *iterator) {
     free(iterator);
 }
 
-double *stList_toDoublePtr(stList *list, int64_t *arrayLength) {
-    double *a = st_malloc(sizeof(double) * (list->length ? list->length : 1));
-    for (int64_t i = 0; i < list->length; i++) {
-        a[i] = *(double *) list->items[i];
-    }
-    *arrayLength = list->length;
-    return a;
-}
-
-int64_t *stList_toIntPtr(stList *list, int64_t *arrayLength) {
-    int64_t *a = st_malloc(sizeof(int64_t) * (list->length ? list->length : 1));
-    for (int64_t i = 0; i < list->length; i++) {
-        a[i] = *(int64_t *) list->items[i];
-    }
-    *arrayLength = list->length;
-    return a;
-}
+/* stList_toDoublePtr / stList_toIntPtr are provided by the reference's own
+ * hdp_math_utils.c (:812-834) when linked for parity; no shim definition. */
 
 /* ---- stIntTuple: length-prefixed int64 array ---- */
 
@@ -293,6 +283,15 @@ stIntTuple *stIntTuple_construct3(int64_t v1, int64_t v2, int64_t v3) {
     t[1] = v1;
     t[2] = v2;
     t[3] = v3;
+    return t;
+}
+
+stIntTuple *stIntTuple_construct4(int64_t v1, int64_t v2, int64_t v3, int64_t v4) {
+    stIntTuple *t = intTuple_alloc(4);
+    t[1] = v1;
+    t[2] = v2;
+    t[3] = v3;
+    t[4] = v4;
     return t;
 }
 
@@ -620,6 +619,42 @@ stList *stString_split(const char *string) {
         p = q;
     }
     return l;
+}
+
+stList *stString_splitByString(const char *string, const char *delim) {
+    stList *l = stList_construct3(0, free);
+    size_t dlen = strlen(delim);
+    const char *p = string;
+    if (dlen == 0) {
+        stList_append(l, stString_copy(string));
+        return l;
+    }
+    for (;;) {
+        const char *q = strstr(p, delim);
+        if (q == NULL) {
+            stList_append(l, stString_copy(p));
+            break;
+        }
+        char *tok = st_malloc(q - p + 1);
+        memcpy(tok, p, q - p);
+        tok[q - p] = '\0';
+        stList_append(l, tok);
+        p = q + dlen;
+    }
+    return l;
+}
+
+/* Only reachable through the vendored-lastz popen path (getBlastPairs),
+ * which the parity driver never takes — anchors are supplied as input. */
+char *getTempFile(void) {
+    fprintf(stderr, "shim: getTempFile is not supported (lastz path)\n");
+    exit(1);
+}
+
+void fastaWrite(char *sequence, char *header, FILE *file) {
+    (void) sequence; (void) header; (void) file;
+    fprintf(stderr, "shim: fastaWrite is not supported (lastz path)\n");
+    exit(1);
 }
 
 char *stString_getSubString(const char *cA, int64_t start, int64_t length) {

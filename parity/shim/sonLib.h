@@ -57,6 +57,7 @@ stSortedSet *stList_getSortedSet(stList *list,
 stIntTuple *stIntTuple_construct1(int64_t value);
 stIntTuple *stIntTuple_construct2(int64_t value1, int64_t value2);
 stIntTuple *stIntTuple_construct3(int64_t v1, int64_t v2, int64_t v3);
+stIntTuple *stIntTuple_construct4(int64_t v1, int64_t v2, int64_t v3, int64_t v4);
 void stIntTuple_destruct(stIntTuple *intTuple);
 int64_t stIntTuple_get(stIntTuple *intTuple, int64_t index);
 int64_t stIntTuple_length(stIntTuple *intTuple);
@@ -92,6 +93,7 @@ void stSet_destructIterator(stSetIterator *iterator);
 char *stString_copy(const char *string);
 char *stString_print(const char *format, ...);
 stList *stString_split(const char *string);
+stList *stString_splitByString(const char *string, const char *delim);
 char *stString_getSubString(const char *cA, int64_t start, int64_t length);
 char *stString_replace(const char *originalString, const char *toReplace,
                        const char *replacement);

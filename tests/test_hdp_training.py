@@ -1,7 +1,7 @@
 """threeStateHdp end-to-end EM on the real Zymo fixture.
 
 Mirrors the reference's HDP training loop (trainModels.py:269-330 + the
-test_hdpHmm_em ladder, signalPairwiseTest.c:1092): bootstrap HDPs from a
+test_hdpHmm_em ladder, nanoporeHdpTests.c:1092): bootstrap HDPs from a
 threeState alignment's assignments, then run EM iterations where each
 iteration re-collects assignments, rebuilds both strand HDPs and reloads
 densities; the running likelihood must be non-decreasing within the
@@ -55,16 +55,22 @@ def test_hdp_em_monotone_likelihood(tmp_path):
         hdp_paths[strand] = path
 
     # --- EM iterations with per-iteration HDP rebuild ---
+    # assignment_threshold mirrors the reference's p->threshold default (0.01,
+    # pairwiseAligner.c:1430) used by hdpHmm_constructEmpty in the reference
+    # EM test (nanoporeHdpTests.c:1112).
     out = train(REF, [NPREAD], TMODEL, CMODEL, iterations=3,
                 sm_type="threeStateHdp", out_dir=str(tmp_path),
-                assignment_threshold=0.5,
+                assignment_threshold=0.01,
                 template_hdp=hdp_paths["t"], complement_hdp=hdp_paths["c"],
                 gibbs=GIBBS, log=lambda *a: None)
     liks = out["likelihoods"]
     assert len(liks) == 3
     assert np.isfinite(liks).all()
-    for prev, cur in zip(liks, liks[1:]):
-        # non-decreasing within 5% slack (reference signalPairwiseTest.c:1693)
+    # non-decreasing within 5% slack, exempting the first transition exactly
+    # as the reference does (`if (iter > 1)`, nanoporeHdpTests.c:1183-1185):
+    # the first E-step runs against the bootstrap densities, whose data come
+    # from a different (threeState) model, so a one-off dip is expected.
+    for prev, cur in list(zip(liks, liks[1:]))[1:]:
         assert cur >= prev - 0.05 * abs(prev), liks
     # trained artifacts exist (serialized per iteration)
     assert os.path.exists(tmp_path / "template_trained.nhdp")
