@@ -3,12 +3,16 @@
 Runs the Pallas wavefront pipeline (emissions -> forward -> fused backward
 with totals/posteriors/EM tallies) on a MIXED batch of real alignment
 problems — the Zymo fixture read's template AND complement strands, full
-reads plus windowed sub-reads of varied lengths (417-799 events), each with
-its own real seed-chain anchors and band — and reports events/sec/chip.
+reads plus windowed sub-reads of varied lengths — each with its own real
+anchors and band.  Problems are bucketed by window width (W = 128/256/512)
+so narrow-band reads don't pay the widest problem's padding; one pipeline
+per bucket, all buckets timed together.
 
-vs_baseline compares against the single-core C baseline microbenchmark
-(native/fb_baseline.c — the reference publishes no numbers, BASELINE.md);
-the BASELINE.md target is >=10x.  Extra detail (per-stage split, EM-step/s,
+vs_baseline compares against THE REFERENCE ENGINE ITSELF: the reference
+sources compiled in place at -O2 (parity/build/driver, see parity/), running
+`getAlignedPairsUsingAnchors` single-core on byte-identical inputs (same
+targets, events, anchors, scale params, banding parameters).  The BASELINE.md
+target is >=10x single-core C.  Extra detail (per-bucket split, EM-step/s,
 bandwidth estimate) goes to stderr; stdout carries the ONE JSON line
 {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -17,6 +21,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -24,6 +29,8 @@ import numpy as np
 BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 ITERS = int(os.environ.get("BENCH_ITERS", "4"))
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+DRIVER = os.path.join(REPO, "parity", "build", "driver")
 REF = "/root/reference/tests/test_npReads/ZymoRef.txt"
 NPREAD = "/root/reference/tests/test_npReads/ZymoC_ch_1_file1.npRead"
 TMODEL = "/root/reference/models/template_median68pA.model"
@@ -34,23 +41,9 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def c_baseline_events_per_sec() -> float | None:
-    exe = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native",
-                       "fb_baseline")
-    src = exe + ".c"
-    try:
-        if not os.path.exists(exe) and os.path.exists(src):
-            subprocess.run(["gcc", "-O3", "-march=native", "-o", exe, src, "-lm"],
-                           check=True, capture_output=True)
-        out = subprocess.run([exe, "10"], check=True, capture_output=True,
-                             text=True)
-        return float(json.loads(out.stdout)["events_per_sec"])
-    except Exception:
-        return None
-
-
 def build_mixed_problems():
-    """Distinct real problems: both strands, full + windowed sub-reads."""
+    """Distinct real problems: both strands, full + windowed sub-reads.
+    Returns (pore, target, events, anchors, band, n_events, model_path, sp)."""
     from cpecan_signal_tpu.cli.train_models import _prepare_read
     from cpecan_signal_tpu.core.anchors import filter_to_remove_overlap
     from cpecan_signal_tpu.core.band import band_construct
@@ -66,7 +59,7 @@ def build_mixed_problems():
     prep = _prepare_read(ref_seq, npread, params)
     assert prep is not None
 
-    problems = []  # (pore, target, events, band, n_events)
+    problems = []
     for strand, model_path in (("t", TMODEL), ("c", CMODEL)):
         target, events, anchors, sp = prep[strand]
         pore = scale_model(load_pore_model(model_path), sp.scale, sp.shift,
@@ -85,7 +78,8 @@ def build_mixed_problems():
             e_sub = events[ev_lo:ev_hi]
             band = band_construct(sub, len(t_sub) - KMER_LENGTH + 1,
                                   len(e_sub), params.diagonal_expansion)
-            problems.append((pore, t_sub, e_sub, band, len(e_sub)))
+            problems.append((pore, t_sub, e_sub, sub, band, len(e_sub),
+                             model_path, sp))
 
         n = len(events)
         add(0, n)                      # full strand
@@ -95,84 +89,150 @@ def build_mixed_problems():
     return problems
 
 
+def reference_engine_seconds(raw, params):
+    """Single-core reference engine (compiled in place) on the same inputs.
+    Returns list of seconds-per-align, one per distinct problem."""
+    if not os.path.exists(DRIVER):
+        r = subprocess.run(["make", "-C", os.path.join(REPO, "parity")],
+                           capture_output=True, text=True)
+        if r.returncode != 0:
+            log("bench - reference build failed; no baseline")
+            return None
+    secs = []
+    with tempfile.TemporaryDirectory() as td:
+        for i, (pore, target, events, anchors, band, n, model_path, sp) in \
+                enumerate(raw):
+            tp, ep, ap = (os.path.join(td, f"{i}.{x}")
+                          for x in ("target", "events", "anchors"))
+            with open(tp, "w") as fh:
+                fh.write(target + "\n")
+            with open(ep, "w") as fh:
+                for m, s, d in np.asarray(events, dtype=np.float64):
+                    fh.write(f"{m:.17g} {s:.17g} {d:.17g}\n")
+            with open(ap, "w") as fh:
+                for x, y in np.asarray(anchors, dtype=np.int64):
+                    fh.write(f"{x} {y}\n")
+            r = subprocess.run(
+                [DRIVER, "bench", tp, ep, ap, model_path,
+                 str(sp.scale), str(sp.shift), str(sp.var), str(sp.scale_sd),
+                 str(sp.var_sd), "1", "1", "/dev/null",
+                 str(params.threshold), str(params.diagonal_expansion)],
+                capture_output=True, text=True, timeout=600)
+            if r.returncode != 0:
+                log(f"bench - reference engine failed on problem {i}: {r.stderr}")
+                return None
+            secs.append(float(json.loads(r.stdout)["seconds_per_align"]))
+    return secs
+
+
 def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+                      os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from cpecan_signal_tpu.core.window import smooth_band
     from cpecan_signal_tpu.engine import pallas_pipeline as pp
+    from cpecan_signal_tpu.models.params import AlignmentParams
 
+    params = AlignmentParams()
     raw = build_mixed_problems()
     log(f"bench - {len(raw)} distinct problems, events: "
-        f"{[n for *_x, n in raw]}")
+        f"{[n for *_x, n, _m, _s in raw]}")
 
-    # shared window width + pads across the whole mixed set
-    wbands = [smooth_band(band, width_multiple=128) for *_a, band, _n in raw]
-    W = max(wb.W for wb in wbands)
-    wbands = [wb if wb.W == W else
-              smooth_band(band, width_multiple=128, min_width=W)
-              for wb, (*_a, band, _n) in zip(wbands, raw)]
-    Dp = max(wb.n_diagonals for wb in wbands) + 2
-    lxp = max(len(t) for _p, t, *_r in raw)
-    lyp = max(len(e) for _p, _t, e, *_r in raw)
+    # --- bucket by per-problem window width ---
+    wbands = [smooth_band(band, width_multiple=128)
+              for *_a, band, _n, _m, _s in raw]
+    instances = [i % len(raw) for i in range(BATCH)]
+    buckets = {}  # W -> list of problem indices (with multiplicity)
+    for i in instances:
+        buckets.setdefault(wbands[i].W, []).append(i)
+    # pad each bucket to a sublane-friendly multiple of 8 with more real
+    # instances (counted in the throughput denominator — they are real work)
+    for W, idxs in buckets.items():
+        uniq = sorted(set(idxs))
+        while len(idxs) % 8:
+            idxs.append(uniq[len(idxs) % len(uniq)])
+    instances = [i for idxs in buckets.values() for i in idxs]
 
-    plan = None
-    probs, n_events = [], []
-    for (pore, target, events, _band, n), wb in zip(raw, wbands):
-        plan, prob = pp.make_sm3_pallas_problem(pore, target, events, wb,
-                                                pad_lx=lxp, pad_ly=lyp,
-                                                pad_d=Dp)
-        probs.append(prob)
-        n_events.append(n)
+    pipelines = []  # (W, batch, plan, ev_total)
+    for W, idxs in sorted(buckets.items()):
+        uniq = sorted(set(idxs))
+        Dp = max(wbands[i].n_diagonals for i in uniq) + 2
+        lxp = max(len(raw[i][1]) for i in uniq)
+        lyp = max(len(raw[i][2]) for i in uniq)
+        probs = {}
+        plan = None
+        for i in uniq:
+            pore, target, events, _anchors, _band, n, _m, _s = raw[i]
+            plan, probs[i] = pp.make_sm3_pallas_problem(
+                pore, target, events, wbands[i], pad_lx=lxp, pad_ly=lyp,
+                pad_d=Dp)
+        batch = pp.stack_problems([probs[i] for i in idxs])
+        ev = sum(raw[i][5] for i in idxs)
+        log(f"bench - bucket W={W}: {len(idxs)} instances "
+            f"({len(uniq)} distinct), Dp={Dp}, {ev} events")
+        pipelines.append((W, batch, plan, ev))
 
-    tiled = [probs[i % len(probs)] for i in range(BATCH)]
-    ev_total = sum(n_events[i % len(probs)] for i in range(BATCH))
-    batch = pp.stack_problems(tiled)
-    log(f"bench - batch {BATCH} problems, W={W}, Dp={Dp}, "
-        f"{ev_total} real events/batch")
+    ev_total = sum(ev for *_x, ev in pipelines)
+    jitted = [(pp.make_jit_pipeline(plan, W), batch)
+              for W, batch, plan, _ev in pipelines]
 
-    pipeline = pp.make_jit_pipeline(plan, W)
-    out = pipeline(batch)
-    _ = np.asarray(out[3]).ravel()[:4]  # force full execution (honest timing)
+    def run_all():
+        outs = [fn(batch) for fn, batch in jitted]
+        for out in outs:
+            _ = np.asarray(out[4]).ravel()[:1]  # force full execution
 
+    run_all()  # compile + warm
     times = []
     for _i in range(ITERS):
         t0 = time.perf_counter()
-        out = pipeline(batch)
-        _ = np.asarray(out[3]).ravel()[:4]
+        run_all()
         times.append(time.perf_counter() - t0)
     dt = min(times)
     events_per_sec = ev_total / dt
 
     # EM step throughput: full production E-step (tallies on device)
-    em = jax.jit(lambda b: pp.sm3_pallas_expectations(plan, W, b))
-    r = em(batch)
-    _ = np.asarray(r[0]).ravel()[:1]
+    ems = [(jax.jit(lambda b, plan=plan, W=W: pp.sm3_pallas_expectations(plan, W, b)),
+            batch) for W, batch, plan, _ev in pipelines]
+
+    def run_em():
+        outs = [fn(batch) for fn, batch in ems]
+        for out in outs:
+            _ = np.asarray(out[0]).ravel()[:1]
+
+    run_em()
     em_times = []
     for _i in range(ITERS):
         t0 = time.perf_counter()
-        r = em(batch)
-        _ = np.asarray(r[0]).ravel()[:1]
+        run_em()
         em_times.append(time.perf_counter() - t0)
     em_dt = min(em_times)
 
-    # HBM-traffic estimate for the roofline sanity check: E write+2x read,
-    # F write+2x read, posterior/pgapx/total writes (f32)
-    cells = BATCH * Dp * W * 4  # bytes per (row, state/class) element
-    gb = (cells * 3 * 3        # E: 1 write + 2 reads (fwd, bwd)
-          + cells * 3 * 3      # F: 1 write + 2 reads (bwd x2 row views)
-          + cells * 2 + BATCH * Dp * 4) / 1e9
+    # HBM-traffic estimate for the roofline sanity check
+    gb = 0.0
+    for W, batch, _plan, _ev in pipelines:
+        B = batch.x0.shape[0]
+        Dp = batch.diag_scalars.shape[1] - 1
+        cells = B * Dp * W * 4
+        gb += (cells * 3 * 3 + cells * 3 * 3 + cells * 2 + B * Dp * 4) / 1e9
     log(f"bench - pipeline {dt*1000:.1f} ms ({events_per_sec:,.0f} ev/s); "
         f"EM step {em_dt*1000:.1f} ms ({ev_total/em_dt:,.0f} ev/s, "
         f"{1/em_dt:.2f} steps/s); ~{gb/dt:.0f} GB/s of ~819 GB/s HBM "
         f"(v5e) incl. masked band waste")
 
-    base = c_baseline_events_per_sec()
-    vs = events_per_sec / base if base else None
+    # --- single-core reference engine on identical inputs ---
+    secs = reference_engine_seconds(raw, params)
+    vs = None
+    if secs is not None:
+        ref_total = sum(secs[i] for i in instances)
+        ref_eps = ev_total / ref_total
+        vs = events_per_sec / ref_eps
+        log(f"bench - reference engine: {ref_total:.2f} s for the same "
+            f"{BATCH}-instance mix ({ref_eps:,.0f} ev/s single-core) "
+            f"-> {vs:.2f}x")
+
     print(json.dumps({
         "metric": "banded_fb_events_per_sec_per_chip",
         "value": round(events_per_sec, 1),

@@ -34,9 +34,9 @@ def build_hdp_from_alignment(hdp_type: str | int, template_model: str,
                              log=print) -> tuple[NanoporeHDP, NanoporeHDP]:
     if isinstance(hdp_type, int):
         hdp_type = HDP_TYPES[hdp_type]
-    out = []
-    for strand, model, path in (("t", template_model, template_out),
-                                ("c", complement_model, complement_out)):
+    out = [None, None]
+
+    def build_one(i, strand, model, path):
         kwargs = {} if grid is None else {"grid": grid}
         nhdp = build_nanopore_hdp(hdp_type, model, alphabet=alphabet, **kwargs)
         n = nhdp.update_from_alignment(alignments_tsv, strand_filter=strand)
@@ -45,7 +45,20 @@ def build_hdp_from_alignment(hdp_type: str | int, template_model: str,
             nhdp.gibbs(**gibbs)
             nhdp.finalize()
             nhdp.serialize(path)
-        out.append(nhdp)
+        out[i] = nhdp
+
+    # template and complement build in parallel, mirroring the reference's
+    # OpenMP sections (nanopore_hdp.c:915-944); the Gibbs loop runs inside
+    # the native library, which releases the GIL for the ctypes call
+    import threading
+    threads = [threading.Thread(target=build_one, args=(i, s, m, p))
+               for i, (s, m, p) in enumerate(
+                   (("t", template_model, template_out),
+                    ("c", complement_model, complement_out)))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
     return tuple(out)
 
 

@@ -26,7 +26,7 @@ def _load_lib():
     if not os.path.exists(path):
         src = os.path.join(os.path.dirname(path), "hdp_core.cpp")
         subprocess.run(["g++", "-O3", "-march=native", "-fPIC", "-std=c++17",
-                        "-shared", "-o", path, src], check=True)
+                        "-fopenmp", "-shared", "-o", path, src], check=True)
     lib = ctypes.CDLL(path)
     i64p = ctypes.POINTER(ctypes.c_int64)
     f64p = ctypes.POINTER(ctypes.c_double)
@@ -50,6 +50,18 @@ def _load_lib():
     lib.hdp_samples_taken.argtypes = [ctypes.c_void_p]
     lib.hdp_samples_taken.restype = ctypes.c_int64
     lib.hdp_destroy.argtypes = [ctypes.c_void_p]
+    lib.hdp_reset_data.argtypes = [ctypes.c_void_p]
+    lib.hdp_enable_snapshots.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.hdp_snapshot_count.argtypes = [ctypes.c_void_p]
+    lib.hdp_snapshot_count.restype = ctypes.c_int64
+    lib.hdp_get_snapshots.argtypes = [ctypes.c_void_p, f64p, i64p]
+    lib.hdp_joint_log_density.argtypes = [ctypes.c_void_p]
+    lib.hdp_joint_log_density.restype = ctypes.c_double
+    lib.hdp_factor_counts.argtypes = [ctypes.c_void_p, i64p]
+    lib.hdp_serialize_chain.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.hdp_serialize_chain.restype = ctypes.c_int
+    lib.hdp_deserialize_chain.argtypes = [ctypes.c_char_p]
+    lib.hdp_deserialize_chain.restype = ctypes.c_void_p
     _lib = lib
     return lib
 
@@ -97,6 +109,11 @@ class HierarchicalDirichletProcess:
         dp_ids = np.ascontiguousarray(dp_ids, dtype=np.int64)
         self._lib.hdp_set_data(self._h, _f64p(data), _i64p(dp_ids), len(data))
 
+    def reset_data(self) -> None:
+        """Destroy the factor tree and clear data/accumulators so new data
+        can be passed (reset_hdp_data, hdp.c:1603-1661)."""
+        self._lib.hdp_reset_data(self._h)
+
     def gibbs(self, num_samples: int, burn_in: int, thinning: int,
               verbose: bool = False) -> None:
         self._lib.hdp_gibbs(self._h, num_samples, burn_in, thinning,
@@ -129,6 +146,65 @@ class HierarchicalDirichletProcess:
 
     def gamma_at(self, depth: int) -> float:
         return float(self._lib.hdp_get_gamma(self._h, depth))
+
+    # --- snapshot diagnostics (hdp.c:2285-2478) ---
+
+    def enable_snapshots(self, enable: bool = True) -> None:
+        """Record (joint log density, total factor count) once per Gibbs
+        sweep (execute_gibbs_sampling_with_snapshots, hdp.c:2486-2520)."""
+        self._lib.hdp_enable_snapshots(self._h, 1 if enable else 0)
+
+    @property
+    def snapshots(self) -> tuple[np.ndarray, np.ndarray]:
+        n = int(self._lib.hdp_snapshot_count(self._h))
+        density = np.empty(n)
+        factors = np.empty(n, dtype=np.int64)
+        if n:
+            self._lib.hdp_get_snapshots(self._h, _f64p(density), _i64p(factors))
+        return density, factors
+
+    def joint_log_density(self) -> float:
+        """Joint log density of the current factor configuration
+        (snapshot_joint_log_density, hdp.c:2302-2312)."""
+        return float(self._lib.hdp_joint_log_density(self._h))
+
+    def factor_counts(self) -> np.ndarray:
+        """Per-DP factor counts (snapshot_num_factors, hdp.c:2315-2326)."""
+        out = np.empty(self.num_dps, dtype=np.int64)
+        self._lib.hdp_factor_counts(self._h, _i64p(out))
+        return out
+
+    # --- full chain serialization (hdp.c:2825-3278 equivalent) ---
+
+    def serialize_chain(self, path: str) -> None:
+        """Serialize structure + data + the LIVE factor tree + RNG stream so
+        Gibbs sampling resumes in place after deserialization (the
+        reference's full serialization, hdp.c:2825-3278)."""
+        if not self._lib.hdp_serialize_chain(self._h, path.encode()):
+            raise IOError(f"hdp chain serialization failed: {path}")
+
+    @classmethod
+    def deserialize_chain(cls, path: str) -> "HierarchicalDirichletProcess":
+        lib = _load_lib()
+        h = lib.hdp_deserialize_chain(path.encode())
+        if not h:
+            raise IOError(f"hdp chain deserialization failed: {path}")
+        self = cls.__new__(cls)
+        self._lib = lib
+        self._h = h
+        with open(path) as fh:
+            fh.readline()
+            head = fh.readline().split()
+            self.num_dps, self.depth = int(head[0]), int(head[1])
+            self.sample_gamma = bool(int(head[2]))
+            prior = [float(v) for v in fh.readline().split()]
+            grid = fh.readline().split()
+        g0, g1, glen = float(grid[0]), float(grid[1]), int(grid[2])
+        self.grid = np.linspace(g0, g1, glen)
+        self.params = dict(mu=prior[0], nu=prior[1], alpha=prior[2] / 2.0,
+                           beta=prior[3], grid_start=g0, grid_stop=g1,
+                           grid_length=glen)
+        return self
 
     def __del__(self):
         if getattr(self, "_h", None):

@@ -15,6 +15,7 @@ here the intended precision 1/level_sd^2 is used.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -242,6 +243,25 @@ class NanoporeHDP:
 
         return density_logp
 
+    def serialize_chain(self, path: str) -> None:
+        """Full chain serialization: alphabet/topology header + the live
+        factor tree, data, accumulators and RNG stream, so Gibbs resumes in
+        place after deserialization (the reference's full serialization,
+        hdp.c:2825-3278 wrapped by serialize_nhdp, nanopore_hdp.c:834-873)."""
+        import tempfile
+        fd, tmp = tempfile.mkstemp(suffix=".hdpchain")
+        os.close(fd)
+        try:
+            self.hdp.serialize_chain(tmp)
+            with open(path, "w") as out:
+                out.write(f"nhdpchain\t{self.alphabet}\t{self.kmer_length}\t"
+                          f"{self.topology}\n")
+                with open(tmp) as fh:
+                    for line in fh:
+                        out.write(line)
+        finally:
+            os.unlink(tmp)
+
     def serialize(self, path: str) -> None:
         """alphabet header + structure params + finalized distributions
         (serialize_nhdp, nanopore_hdp.c:834-873 — own format, same content)."""
@@ -320,7 +340,33 @@ def build_nanopore_hdp(topology: str, model_path: str,
                        topology=topology)
 
 
+def deserialize_nhdp_chain(path: str) -> NanoporeHDP:
+    """Inverse of NanoporeHDP.serialize_chain: restores the live factor tree,
+    data, accumulators and RNG stream; Gibbs sampling continues in place."""
+    import tempfile
+    with open(path) as fh:
+        head = fh.readline().rstrip("\n").split("\t")
+        if head[0] != "nhdpchain":
+            raise ValueError(f"not an nhdp chain file: {path}")
+        _, alphabet, k, topology = head
+        fd, tmp = tempfile.mkstemp(suffix=".hdpchain")
+        os.close(fd)
+        try:
+            with open(tmp, "w") as out:
+                for line in fh:
+                    out.write(line)
+            hdp = HierarchicalDirichletProcess.deserialize_chain(tmp)
+        finally:
+            os.unlink(tmp)
+    return NanoporeHDP(alphabet=alphabet, kmer_length=int(k), hdp=hdp,
+                       topology=topology)
+
+
 def deserialize_nhdp(path: str) -> NanoporeHDP:
+    with open(path) as fh:
+        first = fh.readline().rstrip("\n").split("\t")
+    if first and first[0] == "nhdpchain":
+        return deserialize_nhdp_chain(path)
     with open(path) as fh:
         alphabet, k, topology = fh.readline().rstrip("\n").split("\t")
         k = int(k)

@@ -254,9 +254,13 @@ def _pick_bt(Bn: int, W: int, Bt: int | None, kd: int = 1,
         per_problem = max(kd, 1) * max(W, 1) * 4 * 14 * 2
         Bt = max(8, vmem_budget // per_problem)
     Bt = min(Bt, Bn)
-    while Bn % Bt:
+    # Mosaic requires the sublane block dim divisible by 8 or equal to the
+    # array dim (the (Bt, 1) scalar inputs hit this): accept Bt == Bn or a
+    # multiple of 8 that divides Bn, else fall back to 1-problem blocks
+    # only if Bn itself is tiny.
+    while Bt > 1 and (Bn % Bt or (Bt % 8 and Bt != Bn)):
         Bt -= 1
-    return Bt
+    return max(Bt, 1)
 
 
 def forward_sm3(plan: EnginePlan, E, diag_scalars, d_last, start, tp_scalar,

@@ -22,7 +22,11 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <fstream>
 #include <random>
+#include <sstream>
+#include <string>
+#include <unordered_map>
 #include <unordered_set>
 #include <vector>
 
@@ -74,6 +78,11 @@ struct HDP {
     int64_t samples_taken = 0;
     bool splines_done = false;
     std::mt19937_64 rng;
+    // per-sweep snapshot diagnostics (snapshot_joint_log_density /
+    // snapshot_num_factors, hdp.c:2285-2478), recorded when enabled
+    bool record_snapshots = false;
+    std::vector<double> snapshot_density;
+    std::vector<int64_t> snapshot_factors;
 
     double& dp_gamma(DP* dp) { return gamma[dp->depth]; }
 };
@@ -293,8 +302,18 @@ double unobserved_factor_likelihood(HDP* h, Factor* f, DP* dp) {
     if (parent_dp == nullptr) return prior_likelihood(h, f);
     double parent_gamma = h->dp_gamma(parent_dp);
     double likelihood = 0.0;
-    for (Factor* pf : parent_dp->factors) {
-        likelihood += pf->children.size() * data_pt_parent_likelihood(f, pf);
+    if (parent_dp->factors.size() > 256) {
+        std::vector<Factor*> pool(parent_dp->factors.begin(),
+                                  parent_dp->factors.end());
+        #pragma omp parallel for schedule(static) reduction(+:likelihood)
+        for (size_t i = 0; i < pool.size(); i++) {
+            likelihood += pool[i]->children.size()
+                          * data_pt_parent_likelihood(f, pool[i]);
+        }
+    } else {
+        for (Factor* pf : parent_dp->factors) {
+            likelihood += pf->children.size() * data_pt_parent_likelihood(f, pf);
+        }
     }
     likelihood += parent_gamma * unobserved_factor_likelihood(h, f, parent_dp);
     likelihood /= parent_gamma + (double)parent_dp->num_factor_children;
@@ -325,9 +344,16 @@ Factor* sample_from_data_pt(HDP* h, Factor* f, DP* dp) {
     std::vector<Factor*> pool(dp->factors.begin(), dp->factors.end());
     size_t n = pool.size();
     std::vector<double> cdf(n + 1);
+    // parallel likelihood evaluation over the factor pool (the reference's
+    // OpenMP region, hdp.c:1805-1816); the per-factor term is pure, the
+    // prefix sum stays sequential
+    #pragma omp parallel for schedule(static) if (n > 256)
+    for (size_t i = 0; i < n; i++) {
+        cdf[i] = pool[i]->children.size() * data_pt_parent_likelihood(f, pool[i]);
+    }
     double cumul = 0.0;
     for (size_t i = 0; i < n; i++) {
-        cumul += pool[i]->children.size() * data_pt_parent_likelihood(f, pool[i]);
+        cumul += cdf[i];
         cdf[i] = cumul;
     }
     cumul += h->dp_gamma(dp) * unobserved_factor_likelihood(h, f, dp);
@@ -349,6 +375,7 @@ Factor* sample_from_middle(HDP* h, Factor* f, DP* dp) {
     std::vector<Factor*> pool(dp->factors.begin(), dp->factors.end());
     size_t n = pool.size();
     std::vector<double> logp(n + 1);
+    #pragma omp parallel for schedule(static) if (n > 256)
     for (size_t i = 0; i < n; i++) {
         logp[i] = std::log((double)pool[i]->children.size())
                   + factor_parent_joint_ll(f, pool[i]);
@@ -622,16 +649,293 @@ void init_factors(HDP* h) {
     add_update_base_params(root, mean, ssd, (double)n);
 }
 
+// ---- snapshot diagnostics (hdp.c:2285-2478) --------------------------------
+
+double snapshot_joint_log_density_internal(Factor* f) {
+    if (f->type == DATA_PT) {
+        return std::log(data_pt_parent_likelihood(f, f->parent));
+    }
+    double ld = 0.0;
+    for (Factor* c : f->children) ld += snapshot_joint_log_density_internal(c);
+    return ld;
+}
+
+double snapshot_joint_log_density(HDP* h) {
+    double ld = 0.0;
+    for (Factor* bf : h->base_dp->factors) {
+        ld += snapshot_joint_log_density_internal(bf);
+    }
+    return ld;
+}
+
+int64_t total_factor_count(HDP* h) {
+    int64_t n = 0;
+    for (auto& dp : h->dps) n += (int64_t)dp.factors.size();
+    return n;
+}
+
+void take_snapshot(HDP* h) {
+    h->snapshot_density.push_back(snapshot_joint_log_density(h));
+    h->snapshot_factors.push_back(total_factor_count(h));
+}
+
+// ---- full chain serialization (factor tree + data + RNG) --------------------
+//
+// The reference serializes structure, data AND the live factor tree so Gibbs
+// resumes in place (hdp.c:2825-3278).  Same content here, own format: the
+// factor tree is flattened to (dp_id, parent_factor_index) rows; base-factor
+// NIG caches are recomputed on load from the attached data (they are pure
+// functions of it), and the mt19937_64 stream state is stored verbatim so a
+// deserialized chain continues from the identical RNG position.
+
+bool serialize_chain(HDP* h, std::FILE* fh) {
+    std::fprintf(fh, "hdpchain\t1\n");
+    std::fprintf(fh, "%lld\t%lld\t%d\t%lld\t%d\t%d\n",
+                 (long long)h->dps.size(), (long long)h->depth,
+                 h->sample_gamma ? 1 : 0, (long long)h->samples_taken,
+                 h->splines_done ? 1 : 0, h->record_snapshots ? 1 : 0);
+    std::fprintf(fh, "%.17g\t%.17g\t%.17g\t%.17g\n", h->mu, h->nu,
+                 h->two_alpha, h->beta);
+    std::fprintf(fh, "%.17g\t%.17g\t%lld\n", h->grid.front(), h->grid.back(),
+                 (long long)h->grid.size());
+    for (auto& dp : h->dps) {
+        std::fprintf(fh, "%lld%c", dp.parent ? (long long)dp.parent->id : -1LL,
+                     &dp == &h->dps.back() ? '\n' : '\t');
+    }
+    for (int64_t d = 0; d < h->depth; d++) {
+        std::fprintf(fh, "%.17g%c", h->gamma[d], d == h->depth - 1 ? '\n' : '\t');
+    }
+    if (h->sample_gamma) {
+        for (int64_t d = 0; d < h->depth; d++) {
+            std::fprintf(fh, "%.17g\t%.17g%c", h->gamma_alpha[d], h->gamma_beta[d],
+                         d == h->depth - 1 ? '\n' : '\t');
+        }
+    }
+    // data
+    std::fprintf(fh, "%lld\n", (long long)h->data.size());
+    for (size_t i = 0; i < h->data.size(); i++) {
+        std::fprintf(fh, "%.17g\t%lld\n", h->data[i], (long long)h->data_dp[i]);
+    }
+    // factor tree: global indices per (dp, factor)
+    std::unordered_map<Factor*, int64_t> idx;
+    for (auto& dp : h->dps) {
+        for (Factor* f : dp.factors) {
+            int64_t i = (int64_t)idx.size();
+            idx[f] = i;
+        }
+    }
+    std::fprintf(fh, "%lld\n", (long long)idx.size());
+    for (auto& dp : h->dps) {
+        for (Factor* f : dp.factors) {
+            std::fprintf(fh, "%lld\t%lld\t%lld\n", (long long)idx[f],
+                         (long long)dp.id,
+                         f->parent ? (long long)idx[f->parent] : -1LL);
+        }
+    }
+    // data-point attachments: recover per-data-point parent by walking the
+    // leaf DP pools; data points are matched to input order via a per-leaf
+    // queue of (value, parent) pairs.  To keep this exact, record parent for
+    // every DATA_PT child of every factor along with its value, then match
+    // greedily per leaf dp in input order (values may repeat; any matching
+    // is valid because equal-valued data points are exchangeable).
+    {
+        std::unordered_map<int64_t, std::vector<std::pair<double, int64_t>>> leaf_pts;
+        for (auto& dp : h->dps) {
+            for (Factor* f : dp.factors) {
+                for (Factor* c : f->children) {
+                    if (c->type == DATA_PT) {
+                        leaf_pts[dp.id].push_back({c->data, idx[f]});
+                    }
+                }
+            }
+        }
+        for (size_t i = 0; i < h->data.size(); i++) {
+            auto& v = leaf_pts[h->data_dp[i]];
+            int64_t parent = -1;
+            for (size_t j = 0; j < v.size(); j++) {
+                if (v[j].first == h->data[i]) {
+                    parent = v[j].second;
+                    v.erase(v.begin() + j);
+                    break;
+                }
+            }
+            if (parent < 0) {
+                std::fprintf(stderr, "hdp_core: serialize: unattached data pt\n");
+                return false;
+            }
+            std::fprintf(fh, "%lld%c", (long long)parent,
+                         i + 1 == h->data.size() ? '\n' : '\t');
+        }
+    }
+    // posterior-predictive accumulators for observed dps
+    int64_t n_obs = 0;
+    for (auto& dp : h->dps) n_obs += dp.observed ? 1 : 0;
+    std::fprintf(fh, "%lld\n", (long long)n_obs);
+    for (auto& dp : h->dps) {
+        if (!dp.observed) continue;
+        std::fprintf(fh, "%lld", (long long)dp.id);
+        for (double v : dp.post_pred) std::fprintf(fh, "\t%.17g", v);
+        std::fprintf(fh, "\n");
+    }
+    // snapshots
+    std::fprintf(fh, "%lld\n", (long long)h->snapshot_density.size());
+    for (size_t i = 0; i < h->snapshot_density.size(); i++) {
+        std::fprintf(fh, "%.17g\t%lld\n", h->snapshot_density[i],
+                     (long long)h->snapshot_factors[i]);
+    }
+    // RNG stream state
+    std::ostringstream ss;
+    ss << h->rng;
+    std::fprintf(fh, "%s\n", ss.str().c_str());
+    return true;
+}
+
+HDP* hdp_create_internal(int64_t num_dps, const int64_t* parent_ids, int64_t depth,
+                         const double* gamma, const double* gamma_alpha,
+                         const double* gamma_beta, int sample_gamma,
+                         double mu, double nu, double two_alpha, double beta,
+                         double grid_start, double grid_stop, int64_t grid_length,
+                         uint64_t seed);
+
+HDP* deserialize_chain(std::FILE* fh) {
+    char tag[32];
+    int version;
+    if (std::fscanf(fh, "%31s %d", tag, &version) != 2
+        || std::strcmp(tag, "hdpchain") != 0 || version != 1) {
+        std::fprintf(stderr, "hdp_core: bad chain header\n");
+        return nullptr;
+    }
+    long long num_dps, depth, samples_taken;
+    int sample_gamma, splines_done, record_snapshots;
+    if (std::fscanf(fh, "%lld %lld %d %lld %d %d", &num_dps, &depth,
+                    &sample_gamma, &samples_taken, &splines_done,
+                    &record_snapshots) != 6) return nullptr;
+    double mu, nu, two_alpha, beta, g0, g1;
+    long long glen;
+    if (std::fscanf(fh, "%lf %lf %lf %lf", &mu, &nu, &two_alpha, &beta) != 4)
+        return nullptr;
+    if (std::fscanf(fh, "%lf %lf %lld", &g0, &g1, &glen) != 3) return nullptr;
+    std::vector<int64_t> parents(num_dps);
+    for (auto& p : parents) { long long v; std::fscanf(fh, "%lld", &v); p = v; }
+    std::vector<double> gamma(depth), galpha(depth, 0.0), gbeta(depth, 0.0);
+    for (auto& g : gamma) std::fscanf(fh, "%lf", &g);
+    if (sample_gamma) {
+        for (int64_t d = 0; d < depth; d++) {
+            std::fscanf(fh, "%lf %lf", &galpha[d], &gbeta[d]);
+        }
+    }
+    HDP* h = hdp_create_internal(num_dps, parents.data(), depth, gamma.data(),
+                                 galpha.data(), gbeta.data(), sample_gamma,
+                                 mu, nu, two_alpha, beta, g0, g1, glen, 0);
+    // hdp_create_internal resets gamma to the prior mean when sample_gamma;
+    // restore the serialized live values
+    h->gamma = gamma;
+    h->samples_taken = samples_taken;
+    h->splines_done = splines_done != 0;
+    h->record_snapshots = record_snapshots != 0;
+    // data (mark observed, but do NOT init factors — the tree is serialized)
+    long long n_data;
+    std::fscanf(fh, "%lld", &n_data);
+    h->data.resize(n_data);
+    h->data_dp.resize(n_data);
+    for (long long i = 0; i < n_data; i++) {
+        long long dpid;
+        std::fscanf(fh, "%lf %lld", &h->data[i], &dpid);
+        h->data_dp[i] = dpid;
+        DP* dp = &h->dps[dpid];
+        while (dp != nullptr && !dp->observed) {
+            dp->observed = true;
+            dp = dp->parent;
+        }
+    }
+    // factor tree
+    long long n_factors;
+    std::fscanf(fh, "%lld", &n_factors);
+    std::vector<Factor*> factors(n_factors, nullptr);
+    std::vector<long long> fdp(n_factors), fparent(n_factors);
+    for (long long i = 0; i < n_factors; i++) {
+        long long fi, dpid, pi;
+        std::fscanf(fh, "%lld %lld %lld", &fi, &dpid, &pi);
+        Factor* f = new Factor();
+        f->dp = &h->dps[dpid];
+        f->type = (pi < 0) ? BASE : MIDDLE;
+        if (f->type == BASE) {
+            cache_base_params(f, h->mu, h->nu, h->two_alpha, h->beta, 1.0);
+        }
+        h->dps[dpid].factors.insert(f);
+        factors[fi] = f;
+        fdp[fi] = dpid;
+        fparent[fi] = pi;
+    }
+    for (long long i = 0; i < n_factors; i++) {
+        if (fparent[i] < 0) continue;
+        Factor* f = factors[i];
+        Factor* p = factors[fparent[i]];
+        f->parent = p;
+        p->children.insert(f);
+        p->dp->num_factor_children++;
+    }
+    for (long long i = 0; i < n_data; i++) {
+        long long pi;
+        std::fscanf(fh, "%lld", &pi);
+        Factor* df = new_data_pt_factor(h->data[i]);
+        Factor* p = factors[pi];
+        df->parent = p;
+        p->children.insert(df);
+        p->dp->num_factor_children++;
+    }
+    // recompute base-factor NIG caches from the attached data
+    for (Factor* bf : h->base_dp->factors) {
+        double mean, ssd;
+        int64_t n;
+        get_factor_stats(bf, &mean, &ssd, &n);
+        add_update_base_params(bf, mean, ssd, (double)n);
+    }
+    // posterior-predictive accumulators
+    long long n_obs;
+    std::fscanf(fh, "%lld", &n_obs);
+    for (long long i = 0; i < n_obs; i++) {
+        long long dpid;
+        std::fscanf(fh, "%lld", &dpid);
+        DP* dp = &h->dps[dpid];
+        dp->observed = true;
+        for (auto& v : dp->post_pred) std::fscanf(fh, "%lf", &v);
+        if (h->splines_done) {
+            dp->spline_slopes = spline_knot_slopes(h->grid, dp->post_pred);
+        }
+    }
+    // snapshots
+    long long n_snap;
+    std::fscanf(fh, "%lld", &n_snap);
+    h->snapshot_density.resize(n_snap);
+    h->snapshot_factors.resize(n_snap);
+    for (long long i = 0; i < n_snap; i++) {
+        long long nf;
+        std::fscanf(fh, "%lf %lld", &h->snapshot_density[i], &nf);
+        h->snapshot_factors[i] = nf;
+    }
+    // RNG stream state (rest of the file)
+    std::string state, line;
+    {
+        char buf[65536];
+        std::string all;
+        while (std::fgets(buf, sizeof buf, fh)) all += buf;
+        std::istringstream ss(all);
+        ss >> h->rng;
+    }
+    return h;
+}
+
 }  // namespace
 
-extern "C" {
+namespace {
 
-void* hdp_create(int64_t num_dps, const int64_t* parent_ids, int64_t depth,
-                 const double* gamma, const double* gamma_alpha,
-                 const double* gamma_beta, int sample_gamma,
-                 double mu, double nu, double two_alpha, double beta,
-                 double grid_start, double grid_stop, int64_t grid_length,
-                 uint64_t seed) {
+HDP* hdp_create_internal(int64_t num_dps, const int64_t* parent_ids, int64_t depth,
+                         const double* gamma, const double* gamma_alpha,
+                         const double* gamma_beta, int sample_gamma,
+                         double mu, double nu, double two_alpha, double beta,
+                         double grid_start, double grid_stop, int64_t grid_length,
+                         uint64_t seed) {
     HDP* h = new HDP();
     h->dps.resize(num_dps);
     for (int64_t i = 0; i < num_dps; i++) {
@@ -672,6 +976,21 @@ void* hdp_create(int64_t num_dps, const int64_t* parent_ids, int64_t depth,
     return h;
 }
 
+}  // namespace
+
+extern "C" {
+
+void* hdp_create(int64_t num_dps, const int64_t* parent_ids, int64_t depth,
+                 const double* gamma, const double* gamma_alpha,
+                 const double* gamma_beta, int sample_gamma,
+                 double mu, double nu, double two_alpha, double beta,
+                 double grid_start, double grid_stop, int64_t grid_length,
+                 uint64_t seed) {
+    return hdp_create_internal(num_dps, parent_ids, depth, gamma, gamma_alpha,
+                               gamma_beta, sample_gamma, mu, nu, two_alpha,
+                               beta, grid_start, grid_stop, grid_length, seed);
+}
+
 void hdp_set_data(void* hv, const double* data, const int64_t* dp_ids, int64_t n) {
     HDP* h = (HDP*)hv;
     h->data.assign(data, data + n);
@@ -703,12 +1022,95 @@ void hdp_gibbs(void* hv, int64_t num_samples, int64_t burn_in, int64_t thinning,
             sample_gamma_params(h, &iter, burn_in, thinning, &samples, num_samples);
         }
         sweep++;
+        if (h->record_snapshots) {
+            take_snapshot(h);
+        }
         if (verbose) {
             std::fprintf(stderr, "hdp_core: sweep %lld iter %lld samples %lld/%lld\n",
                          (long long)sweep, (long long)iter, (long long)samples,
                          (long long)num_samples);
         }
     }
+}
+
+void hdp_reset_data(void* hv) {
+    /* reset_hdp_data (hdp.c:1603-1661): destroy the factor tree, clear data
+     * and accumulators, reset gammas to the prior mean when sampled — the
+     * per-update flow used by hdpHmm loading (continuousHmm.c:886-887). */
+    HDP* h = (HDP*)hv;
+    for (auto& dp : h->dps) {
+        for (Factor* f : dp.factors) {
+            std::vector<Factor*> data_children;
+            for (Factor* c : f->children) {
+                if (c->type == DATA_PT) data_children.push_back(c);
+            }
+            for (Factor* c : data_children) delete c;
+            f->children.clear();
+            delete f;
+        }
+        dp.factors.clear();
+        dp.num_factor_children = 0;
+        dp.observed = false;
+        dp.base_factor_wt = 0.0;
+        std::fill(dp.post_pred.begin(), dp.post_pred.end(), 0.0);
+        dp.spline_slopes.clear();
+    }
+    h->data.clear();
+    h->data_dp.clear();
+    h->samples_taken = 0;
+    h->splines_done = false;
+    h->snapshot_density.clear();
+    h->snapshot_factors.clear();
+    if (h->sample_gamma) {
+        for (int64_t d = 0; d < h->depth; d++) {
+            h->gamma[d] = h->gamma_alpha[d] / h->gamma_beta[d];
+        }
+        std::fill(h->w_aux.begin(), h->w_aux.end(), 1.0);
+        std::fill(h->s_aux.begin(), h->s_aux.end(), 0);
+    }
+}
+
+void hdp_enable_snapshots(void* hv, int enable) {
+    ((HDP*)hv)->record_snapshots = enable != 0;
+}
+
+int64_t hdp_snapshot_count(void* hv) {
+    return (int64_t)((HDP*)hv)->snapshot_density.size();
+}
+
+void hdp_get_snapshots(void* hv, double* density, int64_t* factors) {
+    HDP* h = (HDP*)hv;
+    for (size_t i = 0; i < h->snapshot_density.size(); i++) {
+        density[i] = h->snapshot_density[i];
+        factors[i] = h->snapshot_factors[i];
+    }
+}
+
+double hdp_joint_log_density(void* hv) {
+    return snapshot_joint_log_density((HDP*)hv);
+}
+
+void hdp_factor_counts(void* hv, int64_t* out) {
+    HDP* h = (HDP*)hv;
+    for (size_t i = 0; i < h->dps.size(); i++) {
+        out[i] = (int64_t)h->dps[i].factors.size();
+    }
+}
+
+int hdp_serialize_chain(void* hv, const char* path) {
+    std::FILE* fh = std::fopen(path, "w");
+    if (fh == nullptr) return 0;
+    bool ok = serialize_chain((HDP*)hv, fh);
+    std::fclose(fh);
+    return ok ? 1 : 0;
+}
+
+void* hdp_deserialize_chain(const char* path) {
+    std::FILE* fh = std::fopen(path, "r");
+    if (fh == nullptr) return nullptr;
+    HDP* h = deserialize_chain(fh);
+    std::fclose(fh);
+    return h;
 }
 
 void hdp_finalize_distrs(void* hv) {

@@ -29,6 +29,7 @@
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
+#include <time.h>
 
 #include "pairwiseAligner.h"
 #include "stateMachine.h"
@@ -120,6 +121,25 @@ int main(int argc, char **argv) {
         }
         fclose(out);
         fprintf(stderr, "driver: %lld aligned pairs\n", (long long) stList_length(pairs));
+    } else if (strcmp(mode, "bench") == 0) {
+        /* Time the reference engine itself on this problem: REPS full
+         * banded posterior-decoding passes (the hot path the TPU pipeline
+         * replaces), wall-clock, single core.  Emits one JSON line. */
+        int reps = getenv("BENCH_REPS") ? atoi(getenv("BENCH_REPS")) : 3;
+        struct timespec t0, t1;
+        /* warm-up */
+        stList_destruct(getAlignedPairsUsingAnchors(sM, SsX, SsY, anchors, p,
+                        diagonalCalculationPosteriorMatchProbs, raggedL, raggedR));
+        clock_gettime(CLOCK_MONOTONIC, &t0);
+        for (int r = 0; r < reps; r++) {
+            stList_destruct(getAlignedPairsUsingAnchors(sM, SsX, SsY, anchors, p,
+                            diagonalCalculationPosteriorMatchProbs, raggedL, raggedR));
+        }
+        clock_gettime(CLOCK_MONOTONIC, &t1);
+        double dt = (t1.tv_sec - t0.tv_sec) + 1e-9 * (t1.tv_nsec - t0.tv_nsec);
+        printf("{\"seconds_per_align\": %.9f, \"events\": %lld}\n",
+               dt / reps, (long long) nEvents);
+        (void) outFile;
     } else if (strcmp(mode, "expect") == 0) {
         Hmm *hmm = hmmContinuous_getEmptyHmm(threeState, 0.0001, p->threshold);
         getExpectationsUsingAnchors(sM, hmm, SsX, SsY, anchors, p,
