@@ -210,6 +210,40 @@ def main():
         em_times.append(time.perf_counter() - t0)
     em_dt = min(em_times)
 
+    # Generic (per-cell-transition) Pallas path: vanilla machine on the same
+    # mix, posteriors+totals (stages=3).  Secondary metric, stderr only.
+    from cpecan_signal_tpu.models.state_machines import make_signal_vanilla
+    vjit = []
+    for W, idxs in sorted(buckets.items()):
+        uniq = sorted(set(idxs))
+        Dv = max(wbands[i].n_diagonals for i in uniq) + 2
+        probs = {}
+        vplan = None
+        for i in uniq:
+            pore, target, events, _anchors, _band, _n, model_path, _sp = raw[i]
+            strand = "complement" if "complement" in model_path else "template"
+            sm = make_signal_vanilla(pore, target, events, strand=strand)
+            vplan, probs[i] = pp.make_window_pallas_problem(sm, wbands[i],
+                                                            pad_d=Dv)
+        vbatch = pp.stack_problems([probs[i] for i in idxs])
+        vjit.append((jax.jit(lambda b, plan=vplan, W=W:
+                             pp.run_window_pallas(plan, W, b)), vbatch))
+
+    def run_vanilla():
+        outs = [fn(b) for fn, b in vjit]
+        for out in outs:
+            _ = np.asarray(out[1]).ravel()[:1]
+
+    run_vanilla()
+    vtimes = []
+    for _i in range(ITERS):
+        t0 = time.perf_counter()
+        run_vanilla()
+        vtimes.append(time.perf_counter() - t0)
+    vdt = min(vtimes)
+    log(f"bench - vanilla (generic per-cell pallas path) {vdt*1000:.1f} ms "
+        f"({ev_total/vdt:,.0f} ev/s)")
+
     # HBM-traffic estimate for the roofline sanity check
     gb = 0.0
     for W, batch, _plan, _ev in pipelines:

@@ -45,7 +45,7 @@ def _align_one(args):
      out_tsv, substitute, regions_path) = args
     import jax
     from ..utils.platform import ensure_host_platform
-    ensure_host_platform()
+    platform = ensure_host_platform()
     from ..io.npread import load_npread
     from ..models.pore_model import load_pore_model
     from .vanilla_align import align_read, guide_alignment
@@ -77,7 +77,8 @@ def _align_one(args):
     try:
         res = align_read(ref_seq, contig, npread, tmodel, cmodel, params,
                          sm_type=sm_type, guide=guide, substitute=substitute,
-                         read_label=label, out_fh=out_fh)
+                         read_label=label, out_fh=out_fh,
+                         device_batch=(platform != "cpu"))
     finally:
         if out_fh:
             out_fh.close()

@@ -154,8 +154,13 @@ def align_read(ref_seq: str, contig: str, npread: NanoporeRead,
                template_transitions=None, complement_transitions=None,
                template_kmer_gaps=None, complement_kmer_gaps=None,
                template_skip_bins=None, complement_skip_bins=None,
-               dtype=None) -> dict:
-    """Full two-strand signal alignment of one read (vanillaAlign.c:361-805)."""
+               dtype=None, device_batch: bool = False) -> dict:
+    """Full two-strand signal alignment of one read (vanillaAlign.c:361-805).
+
+    device_batch=True stacks both strands' split jobs into one device batch
+    through the Pallas window path (engine/batch_align) instead of running
+    per-strand serial scans; echelon (multi-state posterior extraction) stays
+    on the serial path."""
     if guide is None:
         guide = guide_alignment(ref_seq, npread.twoD_read, params.constraint_diagonal_trim)
     if guide is None:
@@ -213,6 +218,7 @@ def align_read(ref_seq: str, contig: str, npread: NanoporeRead,
     else:
         c_anchors = anchors
 
+    strand_ctx = []
     for strand, target, raw_target, model, sparams, events_all, strand_events, \
             strand_anchors, hdp_d, trans, kgaps, sbins, ref_off, ev_off in (
             ("t", t_target, trimmed, template_model, npread.template_params,
@@ -227,16 +233,54 @@ def align_read(ref_seq: str, contig: str, npread: NanoporeRead,
         if sm_type != "threeStateHdp" and model is not None:
             scaled = scale_model(model, sparams.scale, sparams.shift, sparams.var,
                                  sparams.scale_sd, sparams.var_sd)
-        if len(strand_events) == 0:
-            results[strand] = AlignedPairs(*(np.zeros(0, dtype=np.int64),) * 3)
-            continue
-        make_sm = make_sm_factory(sm_type, scaled, strand, trans, kgaps,
-                                  skip_bins=sbins, hdp_density=hdp_d)
-        pairs = align_events_to_target(make_sm, target, strand_events,
-                                       strand_anchors, params,
-                                       ragged_left=True, ragged_right=True,
-                                       dtype=dtype,
-                                       multi_match=(sm_type == "echelon"))
+        strand_ctx.append((strand, target, raw_target, scaled, sparams,
+                           events_all, strand_events, strand_anchors, hdp_d,
+                           trans, kgaps, sbins, ref_off, ev_off))
+
+    use_batch = device_batch and sm_type != "echelon"
+    pairs_by_strand: dict[str, AlignedPairs] = {}
+    if use_batch:
+        from ..engine.align import collect_split_jobs
+        from ..engine.batch_align import assemble_pairs, batch_align_jobs
+        all_jobs, owners = [], []
+        for ctx in strand_ctx:
+            (strand, target, _rt, scaled, _sp, _ea, strand_events,
+             strand_anchors, hdp_d, trans, kgaps, sbins, _ro, _eo) = ctx
+            if len(strand_events) == 0:
+                pairs_by_strand[strand] = AlignedPairs(
+                    *(np.zeros(0, dtype=np.int64),) * 3)
+                continue
+            make_sm = make_sm_factory(sm_type, scaled, strand, trans, kgaps,
+                                      skip_bins=sbins, hdp_density=hdp_d)
+            jobs = collect_split_jobs(make_sm, target, strand_events,
+                                      strand_anchors, params,
+                                      ragged_left=True, ragged_right=True)
+            all_jobs.extend(jobs)
+            owners.extend(strand for _ in jobs)
+        frags = batch_align_jobs(all_jobs, params.threshold)
+        for strand in ("t", "c"):
+            if strand not in pairs_by_strand:
+                pairs_by_strand[strand] = assemble_pairs(
+                    [f for f, o in zip(frags, owners) if o == strand])
+    else:
+        for ctx in strand_ctx:
+            (strand, target, _rt, scaled, _sp, _ea, strand_events,
+             strand_anchors, hdp_d, trans, kgaps, sbins, _ro, _eo) = ctx
+            if len(strand_events) == 0:
+                pairs_by_strand[strand] = AlignedPairs(
+                    *(np.zeros(0, dtype=np.int64),) * 3)
+                continue
+            make_sm = make_sm_factory(sm_type, scaled, strand, trans, kgaps,
+                                      skip_bins=sbins, hdp_density=hdp_d)
+            pairs_by_strand[strand] = align_events_to_target(
+                make_sm, target, strand_events, strand_anchors, params,
+                ragged_left=True, ragged_right=True, dtype=dtype,
+                multi_match=(sm_type == "echelon"))
+
+    for ctx in strand_ctx:
+        (strand, _t, raw_target, scaled, sparams, events_all, _se, _sa,
+         _h, _tr, _kg, _sb, ref_off, ev_off) = ctx
+        pairs = pairs_by_strand[strand]
         results[strand] = pairs
         if out_fh is not None:
             write_posterior_probs(out_fh, read_label, contig,
@@ -250,7 +294,7 @@ def align_read(ref_seq: str, contig: str, npread: NanoporeRead,
 
 def main(argv=None):
     from ..utils.platform import ensure_host_platform
-    ensure_host_platform()
+    platform = ensure_host_platform()
     ap = argparse.ArgumentParser(description="signal alignment (vanillaAlign equivalent)")
     ap.add_argument("--reference", "-r", required=True)
     ap.add_argument("--npRead", "-q", required=True)
@@ -325,7 +369,8 @@ def main(argv=None):
                          template_kmer_gaps=trained["t"]["kmer_gap_probs"],
                          complement_kmer_gaps=trained["c"]["kmer_gap_probs"],
                          template_skip_bins=trained["t"]["skip_bins"],
-                         complement_skip_bins=trained["c"]["skip_bins"])
+                         complement_skip_bins=trained["c"]["skip_bins"],
+                         device_batch=(platform != "cpu"))
     finally:
         if out_fh:
             out_fh.close()

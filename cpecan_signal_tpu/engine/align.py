@@ -51,6 +51,48 @@ def _extract_pairs(p_grid: np.ndarray, x: np.ndarray, y: np.ndarray,
     return probs, xs, ys
 
 
+@dataclass
+class SplitJob:
+    """One split sub-problem, ready for (batched) banded FB."""
+
+    sm: StateMachine
+    band: object          # core.band.Band
+    off_x: int
+    off_y: int
+    ragged_left: bool
+    ragged_right: bool
+
+
+def collect_split_jobs(
+    make_sm: Callable[[str, np.ndarray], StateMachine],
+    target_seq: str,
+    events: np.ndarray,
+    anchors: np.ndarray,
+    params: AlignmentParams,
+    *,
+    ragged_left: bool = True,
+    ragged_right: bool = True,
+) -> list[SplitJob]:
+    """The split/band/state-machine prep of align_events_to_target, without
+    running the engine — the unit the device-batched path stacks across
+    strands and reads (VERDICT: device-side batching in the CLIs)."""
+    lX = len(target_seq) - KMER_LENGTH + 1
+    lY = len(events)
+    anchors = np.asarray(anchors, dtype=np.int64).reshape(-1, 2)
+    splits = get_split_points(anchors, lX, lY, params.split_matrix_bigger_than_this,
+                              ragged_left, ragged_right)
+    jobs = []
+    for i, (x1, y1, x2, y2) in enumerate(splits):
+        sub_target = target_seq[x1: x2 + KMER_LENGTH - 1]
+        sub_events = events[y1:y2]
+        sub_anchors = anchors_in_window(anchors, x1, y1, x2, y2)
+        band = band_construct(sub_anchors, x2 - x1, y2 - y1, params.diagonal_expansion)
+        jobs.append(SplitJob(make_sm(sub_target, sub_events), band, x1, y1,
+                             ragged_left or i > 0,
+                             ragged_right or i < len(splits) - 1))
+    return jobs
+
+
 def align_events_to_target(
     make_sm: Callable[[str, np.ndarray], StateMachine],
     target_seq: str,

@@ -1,0 +1,88 @@
+"""Device-batched alignment: stacked split jobs through the Pallas window path.
+
+The CLIs collect SplitJobs (reads x strands x splits, engine/align.py), this
+module buckets them by (machine, window width), stacks each bucket into one
+WindowPallasProblem batch, runs forward + fused backward on device, and
+extracts threshold-passing aligned pairs per job on host — so `signal_align`
+/ `vanilla_align` drive the chip with real batches instead of per-strand
+serial scans (reference analogue: the per-read worker fan-out of
+scripts/signalAlign.py:103-146, re-cut at split granularity for the TPU).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+from ..core.window import smooth_band
+from .align import AlignedPairs, SplitJob, _extract_pairs
+from .window import window_grids
+
+MAX_BUCKET = 64  # problems per device dispatch (bounds host memory for E)
+
+
+@lru_cache(maxsize=64)
+def _jit_runner(plan, W):
+    import jax
+
+    from . import pallas_pipeline as pp
+
+    return jax.jit(partial(pp.run_window_pallas, plan, W))
+
+
+def batch_align_jobs(jobs: list[SplitJob], threshold: float, *,
+                     width_multiple: int = 128,
+                     interpret: bool | None = None) -> list[AlignedPairs]:
+    """Run every job's banded FB on device (bucketed + stacked) and return
+    per-job AlignedPairs (split-local coordinates already shifted by the
+    job's off_x/off_y).  interpret=None auto-selects interpret mode off the
+    default backend (CPU runs the Pallas kernels in interpret mode)."""
+    import jax
+
+    from . import pallas_pipeline as pp
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    wbands = [smooth_band(j.band, width_multiple=width_multiple) for j in jobs]
+    groups: dict[tuple, list[int]] = {}
+    for i, (j, wb) in enumerate(zip(jobs, wbands)):
+        groups.setdefault((j.sm.spec.name, wb.W), []).append(i)
+
+    out: list[AlignedPairs | None] = [None] * len(jobs)
+    for (_name, W), idxs in groups.items():
+        for lo in range(0, len(idxs), MAX_BUCKET):
+            chunk = idxs[lo:lo + MAX_BUCKET]
+            Dmax = max(wbands[i].n_diagonals for i in chunk)
+            plan = None
+            probs = []
+            for i in chunk:
+                plan, prob = pp.make_window_pallas_problem(
+                    jobs[i].sm, wbands[i], ragged_left=jobs[i].ragged_left,
+                    ragged_right=jobs[i].ragged_right, pad_d=Dmax)
+                probs.append(prob)
+            batch = pp.stack_problems(probs)
+            if interpret:
+                p, _tot = pp.run_window_pallas(plan, W, batch, interpret=True)
+            else:
+                p, _tot = _jit_runner(plan, W)(batch)
+            p = np.asarray(p)
+            for bi, i in enumerate(chunk):
+                wb = wbands[i]
+                D = wb.n_diagonals
+                x, y, _valid = window_grids(wb)
+                pr, xs, ys = _extract_pairs(p[bi][:D], x, y, threshold,
+                                            jobs[i].off_x, jobs[i].off_y)
+                out[i] = AlignedPairs(pr, xs, ys)
+    return out  # type: ignore[return-value]
+
+
+def assemble_pairs(frags: list[AlignedPairs]) -> AlignedPairs:
+    """Concatenate split fragments (in split order) into one AlignedPairs."""
+    if not frags:
+        z = np.zeros(0, dtype=np.int64)
+        return AlignedPairs(z, z, z)
+    return AlignedPairs(np.concatenate([f.probs for f in frags]),
+                        np.concatenate([f.x for f in frags]),
+                        np.concatenate([f.y for f in frags]))

@@ -61,6 +61,9 @@ class EnginePlan:
     match_state: int
     edges: tuple[EdgePlan, ...]
     logadd: str = "exact"
+    # emission-class count: in the Pallas path per-cell transition terms ride
+    # as extra E channels, so cell_id t lives at channel n_eclasses + t
+    n_eclasses: int = 0
 
 
 def _build_plan(sm: StateMachine, logadd: str) -> tuple[EnginePlan, np.ndarray, list[np.ndarray]]:
@@ -83,7 +86,8 @@ def _build_plan(sm: StateMachine, logadd: str) -> tuple[EnginePlan, np.ndarray, 
         )
         for e in sm.spec.edges
     )
-    plan = EnginePlan(sm.spec.name, sm.spec.n_states, sm.spec.match_state, edges, logadd)
+    plan = EnginePlan(sm.spec.name, sm.spec.n_states, sm.spec.match_state, edges,
+                      logadd, sm.spec.n_eclasses)
     tp_scalar = np.array([sm.tvals[k].val for k in scalar_keys], dtype=np.float64)
     cell_sources = [(sm.tvals[k].kind, sm.tvals[k].val) for k in cell_keys]
     return plan, tp_scalar, cell_sources

@@ -61,6 +61,49 @@ def _gauss_pack(table: np.ndarray, ranks: np.ndarray):
     return pack(mu_l, sd_l) + pack(mu_n, sd_n)
 
 
+def _san(v):
+    """Finite f32: saturate -inf transition/boundary values to NEG_INF so
+    in-kernel f32 arithmetic stays NaN-free."""
+    return np.maximum(np.asarray(v, dtype=np.float64), NEG_INF).astype(np.float32)
+
+
+def _window_diag_scalars(wband: WindowBand, Dp: int):
+    """(Dp+1, 1, 8) int32 DS_* rows for a window band padded to Dp diagonals;
+    padded rows keep stepping the window with empty xmy ranges so they stay
+    invalid.  DS_XS and the row-Dp sentinel copy are left to the caller.
+    Returns (ds, padded w0)."""
+    D, W = wband.n_diagonals, wband.W
+    w0 = np.empty(Dp, dtype=np.int64)
+    w0[:D] = wband.w0
+    for d in range(D, Dp):
+        w0[d] = w0[d - 1] + (1 if (d - D) % 2 == 0 else -1)
+    xmyL = np.empty(Dp, dtype=np.int64)
+    xmyR = np.empty(Dp, dtype=np.int64)
+    xmyL[:D] = wband.xmyL
+    xmyR[:D] = wband.xmyR
+    xmyL[D:] = w0[D:] + 2 * W + 2
+    xmyR[D:] = w0[D:]
+
+    fL = np.zeros(Dp, dtype=np.int32)
+    fM = np.zeros(Dp, dtype=np.int32)
+    bL = np.zeros(Dp, dtype=np.int32)
+    bM = np.zeros(Dp, dtype=np.int32)
+    fL[1:] = (w0[1:] - 1 - w0[:-1]) // 2
+    fM[2:] = (w0[2:] - w0[:-2]) // 2
+    bL[:-1] = (w0[:-1] + 1 - w0[1:]) // 2
+    bM[:-2] = (w0[:-2] - w0[2:]) // 2
+
+    ds = np.zeros((Dp + 1, 1, 8), dtype=np.int32)
+    ds[:Dp, 0, pk.DS_FL] = fL
+    ds[:Dp, 0, pk.DS_FM] = fM
+    ds[:Dp, 0, pk.DS_BL] = bL
+    ds[:Dp, 0, pk.DS_BM] = bM
+    ds[:Dp, 0, pk.DS_W0] = w0
+    ds[:Dp, 0, pk.DS_XMYL] = xmyL
+    ds[:Dp, 0, pk.DS_XMYR] = xmyR
+    return ds, w0
+
+
 def make_sm3_pallas_problem(pore: PoreModel, target_seq: str, events: np.ndarray,
                             wband: WindowBand, *, transitions=None,
                             kmer_gap_probs=None, ragged_left=True,
@@ -113,16 +156,7 @@ def make_sm3_pallas_problem(pore: PoreModel, target_seq: str, events: np.ndarray
     # slot ri = lY (y = 0 -> null event) stays 0
 
     # --- per-diagonal scalars (padded rows keep stepping the window) ---
-    w0 = np.empty(Dp, dtype=np.int64)
-    w0[:D] = wband.w0
-    for d in range(D, Dp):
-        w0[d] = w0[d - 1] + (1 if (d - D) % 2 == 0 else -1)
-    xmyL = np.empty(Dp, dtype=np.int64)
-    xmyR = np.empty(Dp, dtype=np.int64)
-    xmyL[:D] = wband.xmyL
-    xmyR[:D] = wband.xmyR
-    xmyL[D:] = w0[D:] + 2 * W + 2
-    xmyR[D:] = w0[D:]
+    ds, w0 = _window_diag_scalars(wband, Dp)
 
     d_arange = np.arange(Dp)
     x_of_j0 = (d_arange + w0) // 2           # x at window cell j=0
@@ -131,27 +165,6 @@ def make_sm3_pallas_problem(pore: PoreModel, target_seq: str, events: np.ndarray
     yr0 = np.zeros(Dp + 1, dtype=np.int32)
     x0[:Dp] = np.clip(x_of_j0 + PADX, 0, lXp - W)
     yr0[:Dp] = np.clip(lY - y_of_j0 + PADY, 0, lYp - W)
-
-    fL = np.zeros(Dp, dtype=np.int32)
-    fM = np.zeros(Dp, dtype=np.int32)
-    bL = np.zeros(Dp, dtype=np.int32)
-    bM = np.zeros(Dp, dtype=np.int32)
-    fL[1:] = (w0[1:] - 1 - w0[:-1]) // 2
-    fM[2:] = (w0[2:] - w0[:-2]) // 2
-    bL[:-1] = (w0[:-1] + 1 - w0[1:]) // 2
-    bM[:-2] = (w0[:-2] - w0[2:]) // 2
-
-    def san(v):
-        return np.maximum(np.asarray(v, dtype=np.float64), NEG_INF).astype(np.float32)
-
-    ds = np.zeros((Dp + 1, 1, 8), dtype=np.int32)
-    ds[:Dp, 0, pk.DS_FL] = fL
-    ds[:Dp, 0, pk.DS_FM] = fM
-    ds[:Dp, 0, pk.DS_BL] = bL
-    ds[:Dp, 0, pk.DS_BM] = bM
-    ds[:Dp, 0, pk.DS_W0] = w0
-    ds[:Dp, 0, pk.DS_XMYL] = xmyL
-    ds[:Dp, 0, pk.DS_XMYR] = xmyR
     ds[1:Dp, 0, pk.DS_XS] = x0[1:Dp] - x0[:Dp - 1]  # x-window step, in {0,1}
     ds[Dp] = ds[Dp - 1]  # row Dp: read when the kernel peeks at d+1 off the end
 
@@ -161,9 +174,9 @@ def make_sm3_pallas_problem(pore: PoreModel, target_seq: str, events: np.ndarray
         x0=jnp.asarray(x0), yr0=jnp.asarray(yr0),
         diag_scalars=jnp.asarray(ds),
         d_last=jnp.asarray(D - 1, dtype=jnp.int32),
-        start=jnp.asarray(san(sm.ragged_start if ragged_left else sm.start)),
-        end=jnp.asarray(san(sm.ragged_end if ragged_right else sm.end)),
-        tp_scalar=jnp.asarray(san(tp_scalar)),
+        start=jnp.asarray(_san(sm.ragged_start if ragged_left else sm.start)),
+        end=jnp.asarray(_san(sm.ragged_end if ragged_right else sm.end)),
+        tp_scalar=jnp.asarray(_san(tp_scalar)),
         xrank=jnp.asarray(xrank),
     )
     return plan, prob
@@ -224,6 +237,79 @@ def make_jit_pipeline(plan: fb.EnginePlan, W: int, Bt: int | None = None):
         return run_sm3_pallas(plan, W, batch, Bt=Bt)
 
     return pipeline
+
+
+# ---------------------------------------------------------------------------
+# Generic (per-cell-transition) problems: vanilla / echelon
+# ---------------------------------------------------------------------------
+
+class WindowPallasProblem(NamedTuple):
+    """A window-banded problem with host-built E: channels 0..C-1 are the
+    emission classes, channels C.. are the per-cell transition sources
+    (vanilla skip-bin rows, echelon Poisson duration rows) — see
+    ops/pallas_fb._echans."""
+
+    E: jnp.ndarray             # (Dp + KD, C + T, W) f32; rows >= D zero
+    diag_scalars: jnp.ndarray  # (Dp+1, 1, 8) int32
+    d_last: jnp.ndarray        # () int32
+    start: jnp.ndarray         # (S,) f32
+    end: jnp.ndarray
+    tp_scalar: jnp.ndarray     # (max(n, 1),) f32
+
+
+def make_window_pallas_problem(sm, wband: WindowBand, *, ragged_left=True,
+                               ragged_right=True, pad_d: int | None = None
+                               ) -> tuple[fb.EnginePlan, WindowPallasProblem]:
+    """Pack any state machine (incl. per-cell-transition vanilla/echelon) for
+    the generic Pallas forward/backward kernels.  Emissions and per-cell
+    transition grids are built host-side in the window layout (as in
+    engine/window.prepare_window_inputs) and concatenated on the channel
+    axis; -inf values saturate to NEG_INF so the f32 kernels stay NaN-free."""
+    from .window import prepare_window_inputs
+
+    plan, winp = prepare_window_inputs(sm, wband, ragged_left=ragged_left,
+                                       ragged_right=ragged_right,
+                                       dtype=jnp.float32)
+    D, W = wband.n_diagonals, wband.W
+    Dp = -(-max(D, pad_d or D) // pk.KD) * pk.KD
+    E = np.asarray(winp.E)     # (D+1, C, W)
+    TP = np.asarray(winp.TP)   # (D+1, T, W)
+    C, T = E.shape[1], TP.shape[1]
+    assert C == plan.n_eclasses
+    comb = np.zeros((Dp + pk.KD, C + T, W), dtype=np.float32)
+    comb[:D, :C] = np.maximum(E[:D], NEG_INF)
+    comb[:D, C:] = np.maximum(TP[:D], NEG_INF)
+
+    ds, _w0 = _window_diag_scalars(wband, Dp)
+    ds[Dp] = ds[Dp - 1]
+
+    tp_scalar = np.asarray(winp.tp_scalar)
+    if tp_scalar.size == 0:  # zero-width blocks are not a thing; pad one 0
+        tp_scalar = np.zeros(1, dtype=np.float64)
+
+    prob = WindowPallasProblem(
+        E=jnp.asarray(comb),
+        diag_scalars=jnp.asarray(ds),
+        d_last=jnp.asarray(D - 1, dtype=jnp.int32),
+        start=jnp.asarray(_san(winp.start)),
+        end=jnp.asarray(_san(winp.end)),
+        tp_scalar=jnp.asarray(_san(tp_scalar)),
+    )
+    return plan, prob
+
+
+def run_window_pallas(plan: fb.EnginePlan, W: int, batch: WindowPallasProblem,
+                      Bt: int | None = None, stages: int = 3,
+                      interpret: bool = False):
+    """Forward -> fused backward on a stacked WindowPallasProblem batch.
+    Returns (p (B, Dp, W) posterior match probs, totals (B, Dp))."""
+    F = pk.forward_sm3(plan, batch.E, batch.diag_scalars, batch.d_last,
+                       batch.start, batch.tp_scalar, Bt=Bt, kd=pk.KD,
+                       interpret=interpret)
+    p, totals, _exits, _gacc, _stats = pk.backward_sm3(
+        plan, batch.E, F, batch.diag_scalars, batch.d_last, batch.end,
+        batch.tp_scalar, Bt=Bt, kd=pk.KD, stages=stages, interpret=interpret)
+    return p[:, :, 0, :], totals[:, :, 0, 0]
 
 
 def sm3_pallas_expectations(plan: fb.EnginePlan, W: int,

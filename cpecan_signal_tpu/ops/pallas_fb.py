@@ -21,9 +21,13 @@ constant-shift window layout (engine/window.py):
      edge-posterior tallies (transition counts, gapX-entry rows for the
      per-kmer scatter, likelihood) so B never round-trips HBM.
 
-The kernels are generic over any EnginePlan without per-cell transition terms
-(threeState, threeStateHdp, fourState, fiveState); per-cell-transition models
-(vanilla/echelon) use the XLA window engine.
+The forward/backward kernels are generic over any EnginePlan: per-cell
+transition terms (vanilla's skip-bin log-probs, echelon's Poisson duration
+posteriors; stateMachine.c:1368-1460) ride as extra E channels — channel
+plan.n_eclasses + t holds cell source t — because in the window layout a
+per-cell term shifts/fills exactly like an emission row.  Only the emissions
+kernel (kernel 1) is threeState-specific; vanilla/echelon E+TP packs are
+built host-side (engine/pallas_pipeline.make_window_pallas_problem).
 """
 
 from __future__ import annotations
@@ -60,6 +64,21 @@ def _ladd(x, y):
     lut = jnp.where(d <= 1.0, p1, jnp.where(d <= 2.5, p2, jnp.where(d <= 4.5, p3, p4)))
     out = jnp.where(d >= _LOG_UNDERFLOW, hi, lo + lut)
     return jnp.maximum(out, NEG_INF)  # keep -1e30 saturated
+
+
+def _echans(plan, e):
+    """E channels an edge reads: its emission class + any per-cell transition
+    channels (appended after the plan.n_eclasses emission channels)."""
+    return (e.eclass,) + tuple(plan.n_eclasses + i for i in e.cell_ids)
+
+
+def _esum(plan, E, e):
+    """Sum of an edge's E channels on a (Bt, Ct, W) block -> (Bt, W)."""
+    chans = _echans(plan, e)
+    v = E[:, chans[0], :]
+    for ch in chans[1:]:
+        v = v + E[:, ch, :]
+    return v
 
 
 def _shift(v, s, fill=NEG_INF):
@@ -230,7 +249,7 @@ def _forward_kernel(plan, Bt, W, kd, E_ref, ds_ref, dlast_ref, start_ref,
                 E = E_ref[:, k]
                 acc = [jnp.full((Bt, W), NEG_INF, jnp.float32) for _ in range(S)]
                 for e in plan.edges:
-                    val = srcs[e.src][:, e.frm, :] + E[:, e.eclass, :] + tp_of(e)
+                    val = srcs[e.src][:, e.frm, :] + _esum(plan, E, e) + tp_of(e)
                     acc[e.to] = _ladd(acc[e.to], val)
                 cur = jnp.stack(acc, axis=1)
                 cur = jnp.where(valid, cur, NEG_INF)
@@ -245,13 +264,14 @@ def _forward_kernel(plan, Bt, W, kd, E_ref, ds_ref, dlast_ref, start_ref,
 
 
 def _pick_bt(Bn: int, W: int, Bt: int | None, kd: int = 1,
-             vmem_budget: int = 6 * 1024 * 1024) -> int:
+             vmem_budget: int = 6 * 1024 * 1024, rows: int = 14) -> int:
     """Problems per block: as many as VMEM comfortably allows (grid-step
     overhead dominates at small Bt), rounded down to a divisor of Bn.  The
-    budget covers the ~14 (kd, W)-row f32 blocks the backward kernel holds
-    (2xE, 2xF, outputs) plus carries, times double buffering."""
+    budget covers ``rows`` (kd, W)-row f32 blocks per problem — for SM3's
+    backward that is ~14 (2xE, 2xF, outputs) plus carries — times double
+    buffering; wide-channel machines (echelon) pass a larger row count."""
     if Bt is None:
-        per_problem = max(kd, 1) * max(W, 1) * 4 * 14 * 2
+        per_problem = max(kd, 1) * max(W, 1) * 4 * max(rows, 1) * 2
         Bt = max(8, vmem_budget // per_problem)
     Bt = min(Bt, Bn)
     # Mosaic requires the sublane block dim divisible by 8 or equal to the
@@ -276,7 +296,7 @@ def forward_sm3(plan: EnginePlan, E, diag_scalars, d_last, start, tp_scalar,
     assert Dp % kd == 0, (Dp, kd)
     assert _De >= Dp + kd
     nb_d = Dp // kd
-    Bt = _pick_bt(Bn, W, Bt, kd)
+    Bt = _pick_bt(Bn, W, Bt, kd, rows=C + 3 * S + 2)
     nb = Bn // Bt
     grid = (nb, nb_d + 1)
 
@@ -395,8 +415,10 @@ def _backward_kernel(plan, Bt, W, Dp, kd, stages,
                 sh, bN, EN = sbL - 1, b1[:], E_d1
             else:
                 sh, bN, EN = sbM, b2[:], E_d2
+            # summing the edge's E channels before the shift is exact: the
+            # shift is linear with a 0.0 fill
             val = (_shift(bN[:, e.to:e.to + 1, :], sh)[:, 0, :]
-                   + _shift(EN[:, e.eclass:e.eclass + 1, :], sh, fill=0.0)[:, 0, :]
+                   + _shift(_esum(plan, EN, e)[:, None, :], sh, fill=0.0)[:, 0, :]
                    + tp_of(e))
             acc[e.frm] = _ladd(acc[e.frm], val)
         cur = jnp.stack(acc, axis=1)
@@ -416,7 +438,7 @@ def _backward_kernel(plan, Bt, W, Dp, kd, stages,
                 if e.src != SRC_MIDDLE:
                     continue
                 val = (_shift(F_dm1[:, e.frm:e.frm + 1, :], sM1)[:, 0, :]
-                       + E_d1[:, e.eclass, :] + tp_of(e))
+                       + _esum(plan, E_d1, e) + tp_of(e))
                 c_acc[e.to] = _ladd(c_acc[e.to], val)
             c = jnp.stack(c_acc, axis=1)
             t2 = _lse_rows(c + b1[:])
@@ -459,7 +481,7 @@ def _backward_kernel(plan, Bt, W, Dp, kd, stages,
             pgx = jnp.zeros((Bt, W), jnp.float32)
             for ei, e in enumerate(plan.edges):
                 logp = (srcs[e.src][:, e.frm, :] + cur[:, e.to, :]
-                        + E_d[:, e.eclass, :] + tp_of(e) - total)
+                        + _esum(plan, E_d, e) + tp_of(e) - total)
                 pe = jnp.where(em_ok, jnp.exp(jnp.minimum(logp, 0.0)), 0.0)
                 pe_sum = jnp.sum(pe, axis=1, keepdims=True)   # (Bt, 1)
                 add = add + jnp.where(stats_lane == ei, pe_sum, 0.0)
@@ -506,7 +528,7 @@ def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
     assert Dp % kd == 0, (Dp, kd)
     assert _De >= Dp + kd and Fpad.shape[1] == Dp + kd
     nb_d = Dp // kd
-    Bt = _pick_bt(Bn, W, Bt, kd)
+    Bt = _pick_bt(Bn, W, Bt, kd, rows=C + 3 * S + 2)
     nb = Bn // Bt
 
     def eblk(off):
