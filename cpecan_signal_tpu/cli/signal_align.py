@@ -92,9 +92,93 @@ def _align_one(args):
             tmp_tsv)
 
 
+def _batch_align_all(work):
+    """Cross-read device batching (single-process TPU path): pool EVERY
+    read's split jobs (reads x strands x splits) into bucketed device batches
+    (engine/batch_align), run the chip once per bucket, then write per-read
+    part TSVs.  Same (label, msg, part) contract as _align_one."""
+    import os
+
+    from ..engine.align import collect_split_jobs
+    from ..engine.batch_align import assemble_pairs, batch_align_jobs
+    from ..io.npread import load_npread
+    from ..models.pore_model import load_pore_model
+    from .vanilla_align import finish_read, guide_alignment, prepare_read
+
+    out_early = []
+    preps = []               # (label, prep, contig, params, out_tsv)
+    all_jobs, owners = [], []
+    models = {}
+    threshold = None
+    for w in work:
+        (path, ref_seq, contig, tmodel_path, cmodel_path, params, sm_type,
+         out_tsv, substitute, regions_path) = w
+        label = os.path.basename(path)
+        threshold = params.threshold
+        try:
+            if path.endswith(".fast5"):
+                from ..io.fast5 import fast5_to_npread
+                npread = fast5_to_npread(path)
+            else:
+                npread = load_npread(path)
+        except Exception as exc:
+            out_early.append((label, f"error: {exc}", None))
+            continue
+        guide = guide_alignment(ref_seq, npread.twoD_read,
+                                params.constraint_diagonal_trim)
+        if guide is None:
+            out_early.append((label, "unmapped", None))
+            continue
+        if regions_path is not None:
+            regions = TargetRegions(regions_path)
+            lo, hi = sorted((guide.start1, guide.end1))
+            if not regions.hits(lo, hi):
+                out_early.append((label, "outside target regions", None))
+                continue
+        for mp in (tmodel_path, cmodel_path):
+            if mp not in models:
+                models[mp] = load_pore_model(mp)
+        prep = prepare_read(ref_seq, npread, params, sm_type=sm_type,
+                            guide=guide, substitute=substitute,
+                            template_model=models[tmodel_path],
+                            complement_model=models[cmodel_path])
+        if prep["status"] != "ok":
+            out_early.append((label, prep["status"], None))
+            continue
+        key = len(preps)
+        for ctx in prep["strand_ctx"]:
+            if ctx["make_sm"] is None:
+                continue
+            jobs = collect_split_jobs(ctx["make_sm"], ctx["target"],
+                                      ctx["events"], ctx["anchors"], params,
+                                      ragged_left=True, ragged_right=True)
+            all_jobs.extend(jobs)
+            owners.extend((key, ctx["strand"]) for _ in jobs)
+        preps.append((label, prep, contig, params, out_tsv))
+
+    frags = batch_align_jobs(all_jobs, threshold) if all_jobs else []
+
+    out = []
+    for key, (label, prep, contig, params, out_tsv) in enumerate(preps):
+        pairs = {s: assemble_pairs([f for f, o in zip(frags, owners)
+                                    if o == (key, s)]) for s in ("t", "c")}
+        tmp = f"{out_tsv}.{os.getpid()}.{label}.part" if out_tsv else None
+        fh = open(tmp, "w") if tmp else None
+        try:
+            res = finish_read(prep, pairs, fh, label, contig)
+        finally:
+            if fh:
+                fh.close()
+        t, c = res["t"], res["c"]
+        out.append((label, f"{res['n_anchors']} anchors, "
+                           f"t {len(t.probs)}({t.score:.2f}) "
+                           f"c {len(c.probs)}({c.score:.2f})", tmp))
+    return out_early + out
+
+
 def main(argv=None):
     from ..utils.platform import ensure_host_platform
-    ensure_host_platform()
+    platform = ensure_host_platform()
     ap = argparse.ArgumentParser(description="align many reads (signalAlign equivalent)")
     ap.add_argument("--file_directory", "-d", required=True,
                     help="directory of .fast5 or .npRead files (or a glob)")
@@ -147,6 +231,9 @@ def main(argv=None):
         import multiprocessing as mp
         with mp.Pool(args.jobs) as pool:
             results = pool.map(_align_one, work)
+    elif platform != "cpu" and sm_type != "echelon":
+        # single-process TPU path: pool all reads' split jobs on the chip
+        results = _batch_align_all(work)
     else:
         results = [_align_one(w) for w in work]
     ok = 0

@@ -161,8 +161,40 @@ def align_read(ref_seq: str, contig: str, npread: NanoporeRead,
     through the Pallas window path (engine/batch_align) instead of running
     per-strand serial scans; echelon (multi-state posterior extraction) stays
     on the serial path."""
+    prep = prepare_read(ref_seq, npread, params, sm_type=sm_type, guide=guide,
+                        substitute=substitute,
+                        template_model=template_model,
+                        complement_model=complement_model,
+                        template_hdp_density=template_hdp_density,
+                        complement_hdp_density=complement_hdp_density,
+                        template_transitions=template_transitions,
+                        complement_transitions=complement_transitions,
+                        template_kmer_gaps=template_kmer_gaps,
+                        complement_kmer_gaps=complement_kmer_gaps,
+                        template_skip_bins=template_skip_bins,
+                        complement_skip_bins=complement_skip_bins)
+    if prep["status"] != "ok":
+        return prep
+    pairs_by_strand = compute_pairs(prep, params, sm_type,
+                                    device_batch=device_batch, dtype=dtype)
+    return finish_read(prep, pairs_by_strand, out_fh, read_label, contig)
+
+
+def prepare_read(ref_seq: str, npread: NanoporeRead, params: AlignmentParams,
+                 *, sm_type: str, guide: CigarRecord | None,
+                 substitute: str | None, template_model, complement_model,
+                 template_hdp_density=None, complement_hdp_density=None,
+                 template_transitions=None, complement_transitions=None,
+                 template_kmer_gaps=None, complement_kmer_gaps=None,
+                 template_skip_bins=None, complement_skip_bins=None) -> dict:
+    """Phase 1 of align_read: guide, reference trimming, per-strand event
+    windows/anchors and state-machine factories — everything up to (but not
+    including) running the DP engine, so a multi-read driver can pool split
+    jobs across reads before touching the device."""
+
     if guide is None:
-        guide = guide_alignment(ref_seq, npread.twoD_read, params.constraint_diagonal_trim)
+        guide = guide_alignment(ref_seq, npread.twoD_read,
+                                params.constraint_diagonal_trim)
     if guide is None:
         return {"status": "unmapped"}
 
@@ -233,62 +265,72 @@ def align_read(ref_seq: str, contig: str, npread: NanoporeRead,
         if sm_type != "threeStateHdp" and model is not None:
             scaled = scale_model(model, sparams.scale, sparams.shift, sparams.var,
                                  sparams.scale_sd, sparams.var_sd)
-        strand_ctx.append((strand, target, raw_target, scaled, sparams,
-                           events_all, strand_events, strand_anchors, hdp_d,
-                           trans, kgaps, sbins, ref_off, ev_off))
+        make_sm = (make_sm_factory(sm_type, scaled, strand, trans, kgaps,
+                                   skip_bins=sbins, hdp_density=hdp_d)
+                   if len(strand_events) else None)
+        strand_ctx.append({
+            "strand": strand, "target": target, "raw_target": raw_target,
+            "scaled": scaled, "sparams": sparams, "events_all": events_all,
+            "events": strand_events, "anchors": strand_anchors,
+            "ref_off": ref_off, "ev_off": ev_off, "make_sm": make_sm,
+        })
+    results["forward"] = forward
+    results["strand_ctx"] = strand_ctx
+    return results
 
-    use_batch = device_batch and sm_type != "echelon"
+
+def compute_pairs(prep: dict, params: AlignmentParams, sm_type: str, *,
+                  device_batch: bool = False, dtype=None) -> dict:
+    """Phase 2 of align_read: run the DP engine per strand — device-batched
+    (both strands' split jobs stacked) or serial."""
+    empty = AlignedPairs(*(np.zeros(0, dtype=np.int64),) * 3)
     pairs_by_strand: dict[str, AlignedPairs] = {}
-    if use_batch:
+    if device_batch and sm_type != "echelon":
         from ..engine.align import collect_split_jobs
         from ..engine.batch_align import assemble_pairs, batch_align_jobs
         all_jobs, owners = [], []
-        for ctx in strand_ctx:
-            (strand, target, _rt, scaled, _sp, _ea, strand_events,
-             strand_anchors, hdp_d, trans, kgaps, sbins, _ro, _eo) = ctx
-            if len(strand_events) == 0:
-                pairs_by_strand[strand] = AlignedPairs(
-                    *(np.zeros(0, dtype=np.int64),) * 3)
+        for ctx in prep["strand_ctx"]:
+            if ctx["make_sm"] is None:
+                pairs_by_strand[ctx["strand"]] = empty
                 continue
-            make_sm = make_sm_factory(sm_type, scaled, strand, trans, kgaps,
-                                      skip_bins=sbins, hdp_density=hdp_d)
-            jobs = collect_split_jobs(make_sm, target, strand_events,
-                                      strand_anchors, params,
+            jobs = collect_split_jobs(ctx["make_sm"], ctx["target"],
+                                      ctx["events"], ctx["anchors"], params,
                                       ragged_left=True, ragged_right=True)
             all_jobs.extend(jobs)
-            owners.extend(strand for _ in jobs)
+            owners.extend(ctx["strand"] for _ in jobs)
         frags = batch_align_jobs(all_jobs, params.threshold)
         for strand in ("t", "c"):
             if strand not in pairs_by_strand:
                 pairs_by_strand[strand] = assemble_pairs(
                     [f for f, o in zip(frags, owners) if o == strand])
     else:
-        for ctx in strand_ctx:
-            (strand, target, _rt, scaled, _sp, _ea, strand_events,
-             strand_anchors, hdp_d, trans, kgaps, sbins, _ro, _eo) = ctx
-            if len(strand_events) == 0:
-                pairs_by_strand[strand] = AlignedPairs(
-                    *(np.zeros(0, dtype=np.int64),) * 3)
+        for ctx in prep["strand_ctx"]:
+            if ctx["make_sm"] is None:
+                pairs_by_strand[ctx["strand"]] = empty
                 continue
-            make_sm = make_sm_factory(sm_type, scaled, strand, trans, kgaps,
-                                      skip_bins=sbins, hdp_density=hdp_d)
-            pairs_by_strand[strand] = align_events_to_target(
-                make_sm, target, strand_events, strand_anchors, params,
-                ragged_left=True, ragged_right=True, dtype=dtype,
+            pairs_by_strand[ctx["strand"]] = align_events_to_target(
+                ctx["make_sm"], ctx["target"], ctx["events"], ctx["anchors"],
+                params, ragged_left=True, ragged_right=True, dtype=dtype,
                 multi_match=(sm_type == "echelon"))
+    return pairs_by_strand
 
-    for ctx in strand_ctx:
-        (strand, _t, raw_target, scaled, sparams, events_all, _se, _sa,
-         _h, _tr, _kg, _sb, ref_off, ev_off) = ctx
-        pairs = pairs_by_strand[strand]
-        results[strand] = pairs
+
+def finish_read(prep: dict, pairs_by_strand: dict, out_fh, read_label: str,
+                contig: str) -> dict:
+    """Phase 3 of align_read: TSV rows + result assembly."""
+    results = {"status": "ok", "n_anchors": prep["n_anchors"]}
+    for ctx in prep["strand_ctx"]:
+        pairs = pairs_by_strand[ctx["strand"]]
+        results[ctx["strand"]] = pairs
         if out_fh is not None:
+            scaled = ctx["scaled"]
             write_posterior_probs(out_fh, read_label, contig,
                                   scaled.match_model if scaled else
                                   np.zeros((2, MODEL_PARAMS)),
-                                  sparams.scale, sparams.shift, events_all,
-                                  raw_target, forward, ev_off, ref_off,
-                                  pairs, strand)
+                                  ctx["sparams"].scale, ctx["sparams"].shift,
+                                  ctx["events_all"], ctx["raw_target"],
+                                  prep["forward"], ctx["ev_off"],
+                                  ctx["ref_off"], pairs, ctx["strand"])
     return results
 
 
