@@ -117,7 +117,8 @@ def _synthetic_problem_set(n_problems=4, n_bases=56, seed=0):
         probs.append(prob)
         sms.append(make_signal_sm3(pore, target, events))
         wbs.append(wb)
-    return plan, 128, pp.stack_problems(probs), sms, wbs
+    assert len({wb.W for wb in wbs}) == 1  # stacking needs one window width
+    return plan, wbs[0].W, pp.stack_problems(probs), sms, wbs
 
 
 def test_pallas_em_expectations_batch():
@@ -147,6 +148,39 @@ def test_pallas_em_expectations_batch():
     np.testing.assert_allclose(np.asarray(trans_k), trans_h, rtol=2e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(kmer_k), kmer_h, rtol=2e-3, atol=1e-4)
     assert float(lik_k) == np.float32(lik_h) or abs(float(lik_k) - lik_h) < 2e-3 * abs(lik_h)
+
+
+@pytest.mark.parametrize("n_problems,n_bases,Bt", [
+    (5, 56, 5),     # Bn == Bt not a multiple of 8 (Mosaic sublane edge)
+    (3, 56, 1),     # one-problem blocks
+    (2, 150, 2),    # wide band -> W = 256 (lane-dim slice/roll alignment)
+])
+def test_pallas_shape_edges(n_problems, n_bases, Bt):
+    """Bt/W/kd boundary coverage for the kernels' block sizing heuristics
+    (the two real-TPU breakages in round 1 — SMEM overflow, Mosaic layout —
+    were shape-dependent; this pins the shape handling in interpret mode)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    plan, W, batch, sms, wbs = _synthetic_problem_set(
+        n_problems=n_problems, n_bases=n_bases, seed=n_bases)
+    assert W == (256 if n_bases == 150 else 128)
+    trans_k, kmer_k, lik_k = pp.sm3_pallas_expectations(plan, W, batch,
+                                                        Bt=Bt, interpret=True)
+    trans_h = np.zeros((3, 3))
+    lik_h = 0.0
+    for sm, wb in zip(sms, wbs):
+        plan_w, winp = window.prepare_window_inputs(sm, wb, ragged_left=True,
+                                                    ragged_right=True,
+                                                    dtype=jnp.float32)
+        F = window.forward(plan_w, winp)
+        B = window.backward(plan_w, winp)
+        t, _k, l = window.threestate_expectations(plan_w, winp, F, B)
+        trans_h += np.asarray(t)
+        lik_h += float(l)
+    np.testing.assert_allclose(np.asarray(trans_k), trans_h, rtol=2e-3,
+                               atol=1e-4)
+    assert abs(float(lik_k) - lik_h) < 2e-3 * abs(lik_h)
 
 
 def test_pallas_distributed_train_step():
