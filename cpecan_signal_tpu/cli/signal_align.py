@@ -79,6 +79,10 @@ def _align_one(args):
                          sm_type=sm_type, guide=guide, substitute=substitute,
                          read_label=label, out_fh=out_fh,
                          device_batch=(platform != "cpu"))
+    except Exception as exc:  # engine failure -> retryable worker error
+        if tmp_tsv and os.path.exists(tmp_tsv):
+            os.unlink(tmp_tsv)
+        return (label, f"error: {exc}", None)
     finally:
         if out_fh:
             out_fh.close()
@@ -197,6 +201,9 @@ def main(argv=None):
     ap.add_argument("--diagonalExpansion", "-e", type=int, default=50)
     ap.add_argument("--constraintTrim", "-m", type=int, default=14)
     ap.add_argument("--targetRegions", "-q", default=None)
+    ap.add_argument("--retries", type=int, default=2,
+                    help="re-attempts for reads that fail with an error "
+                         "(the jobTree retry story, SURVEY P5)")
     ap.add_argument("--un_banded", "-ub", action="store_true")
     ap.add_argument("--substitute", "-M", default=None)
     args = ap.parse_args(argv)
@@ -236,6 +243,19 @@ def main(argv=None):
         results = _batch_align_all(work)
     else:
         results = [_align_one(w) for w in work]
+
+    # failure recovery: retry errored reads on the serial path (the
+    # reference's jobTree re-runs failed jobs; SURVEY §2.3 P5)
+    by_label = {os.path.basename(w[0]): w for w in work}
+    for _attempt in range(max(args.retries, 0)):
+        redo = [i for i, (_l, m, _p) in enumerate(results)
+                if m.startswith("error:")]
+        if not redo:
+            break
+        for i in redo:
+            label = results[i][0]
+            print(f"signal_align - retrying {label}", file=sys.stderr)
+            results[i] = _align_one(by_label[label])
     ok = 0
     with open(out_tsv, "a") as merged:
         for label, msg, part in results:

@@ -48,7 +48,7 @@ from ..models.state_machines import (SHORT_GAP_X, SRC_LOWER, SRC_MIDDLE,
 
 NEG_INF = -1e30  # finite stand-in: keeps f32 arithmetic NaN-free in-kernel
 _LOG_UNDERFLOW = 7.5
-KD = 8  # diagonals per grid step (all three kernels share the block size)
+KD = 16  # diagonals per grid step (all three kernels share the block size)
 
 
 def _ladd(x, y):
