@@ -23,8 +23,9 @@ def _load_lib():
     if _lib is not None:
         return _lib
     path = os.path.abspath(_LIB_PATH)
-    if not os.path.exists(path):
-        src = os.path.join(os.path.dirname(path), "hdp_core.cpp")
+    src = os.path.join(os.path.dirname(path), "hdp_core.cpp")
+    if (not os.path.exists(path)
+            or os.path.getmtime(src) > os.path.getmtime(path)):
         subprocess.run(["g++", "-O3", "-march=native", "-fPIC", "-std=c++17",
                         "-fopenmp", "-shared", "-o", path, src], check=True)
     lib = ctypes.CDLL(path)
