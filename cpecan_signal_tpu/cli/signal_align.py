@@ -51,6 +51,11 @@ def _align_one(args):
     from .vanilla_align import align_read, guide_alignment
 
     label = os.path.basename(path)
+    # part-file names must be unique per (process, work item): duplicate
+    # basenames are possible when --file_directory is a glob spanning
+    # directories, so key on a digest of the full path, not the basename
+    import hashlib
+    uniq = hashlib.sha1(path.encode()).hexdigest()[:12]
     try:
         if path.endswith(".fast5"):
             from ..io.fast5 import fast5_to_npread
@@ -72,7 +77,7 @@ def _align_one(args):
 
     tmodel = load_pore_model(tmodel_path)
     cmodel = load_pore_model(cmodel_path)
-    tmp_tsv = f"{out_tsv}.{os.getpid()}.{label}.part" if out_tsv else None
+    tmp_tsv = f"{out_tsv}.{os.getpid()}.{uniq}.part" if out_tsv else None
     out_fh = open(tmp_tsv, "w") if tmp_tsv else None
     try:
         res = align_read(ref_seq, contig, npread, tmodel, cmodel, params,
@@ -110,73 +115,86 @@ def _batch_align_all(work):
     from .vanilla_align import finish_read, guide_alignment, prepare_read
 
     out_early = []
-    preps = []               # (label, prep, contig, params, out_tsv)
+    preps = []               # (label, widx, prep, contig, params, out_tsv)
     all_jobs, owners = [], []
     models = {}
     threshold = None
-    for w in work:
+    for widx, w in enumerate(work):
         (path, ref_seq, contig, tmodel_path, cmodel_path, params, sm_type,
          out_tsv, substitute, regions_path) = w
         label = os.path.basename(path)
         threshold = params.threshold
+        # per-read containment: a corrupt read degrades to a retryable
+        # 'error:' result instead of killing the whole batch
         try:
             if path.endswith(".fast5"):
                 from ..io.fast5 import fast5_to_npread
                 npread = fast5_to_npread(path)
             else:
                 npread = load_npread(path)
+            guide = guide_alignment(ref_seq, npread.twoD_read,
+                                    params.constraint_diagonal_trim)
+            if guide is None:
+                out_early.append((widx, label, "unmapped", None))
+                continue
+            if regions_path is not None:
+                regions = TargetRegions(regions_path)
+                lo, hi = sorted((guide.start1, guide.end1))
+                if not regions.hits(lo, hi):
+                    out_early.append((widx, label, "outside target regions",
+                                      None))
+                    continue
+            for mp in (tmodel_path, cmodel_path):
+                if mp not in models:
+                    models[mp] = load_pore_model(mp)
+            prep = prepare_read(ref_seq, npread, params, sm_type=sm_type,
+                                guide=guide, substitute=substitute,
+                                template_model=models[tmodel_path],
+                                complement_model=models[cmodel_path])
+            if prep["status"] != "ok":
+                out_early.append((widx, label, prep["status"], None))
+                continue
+            key = len(preps)
+            for ctx in prep["strand_ctx"]:
+                if ctx["make_sm"] is None:
+                    continue
+                jobs = collect_split_jobs(ctx["make_sm"], ctx["target"],
+                                          ctx["events"], ctx["anchors"],
+                                          params, ragged_left=True,
+                                          ragged_right=True)
+                all_jobs.extend(jobs)
+                owners.extend((key, ctx["strand"]) for _ in jobs)
         except Exception as exc:
-            out_early.append((label, f"error: {exc}", None))
+            out_early.append((widx, label, f"error: {exc}", None))
             continue
-        guide = guide_alignment(ref_seq, npread.twoD_read,
-                                params.constraint_diagonal_trim)
-        if guide is None:
-            out_early.append((label, "unmapped", None))
-            continue
-        if regions_path is not None:
-            regions = TargetRegions(regions_path)
-            lo, hi = sorted((guide.start1, guide.end1))
-            if not regions.hits(lo, hi):
-                out_early.append((label, "outside target regions", None))
-                continue
-        for mp in (tmodel_path, cmodel_path):
-            if mp not in models:
-                models[mp] = load_pore_model(mp)
-        prep = prepare_read(ref_seq, npread, params, sm_type=sm_type,
-                            guide=guide, substitute=substitute,
-                            template_model=models[tmodel_path],
-                            complement_model=models[cmodel_path])
-        if prep["status"] != "ok":
-            out_early.append((label, prep["status"], None))
-            continue
-        key = len(preps)
-        for ctx in prep["strand_ctx"]:
-            if ctx["make_sm"] is None:
-                continue
-            jobs = collect_split_jobs(ctx["make_sm"], ctx["target"],
-                                      ctx["events"], ctx["anchors"], params,
-                                      ragged_left=True, ragged_right=True)
-            all_jobs.extend(jobs)
-            owners.extend((key, ctx["strand"]) for _ in jobs)
-        preps.append((label, prep, contig, params, out_tsv))
+        preps.append((label, widx, prep, contig, params, out_tsv))
 
-    frags = batch_align_jobs(all_jobs, threshold) if all_jobs else []
+    try:
+        frags = batch_align_jobs(all_jobs, threshold) if all_jobs else []
+    except Exception as exc:
+        # a device/bucket failure degrades every pooled read to a retryable
+        # error (the retry loop re-runs them through _align_one)
+        return out_early + [(widx, label, f"error: {exc}", None)
+                            for label, widx, *_rest in preps]
 
     out = []
-    for key, (label, prep, contig, params, out_tsv) in enumerate(preps):
-        pairs = {s: assemble_pairs([f for f, o in zip(frags, owners)
-                                    if o == (key, s)]) for s in ("t", "c")}
-        tmp = f"{out_tsv}.{os.getpid()}.{label}.part" if out_tsv else None
-        fh = open(tmp, "w") if tmp else None
+    for key, (label, widx, prep, contig, params, out_tsv) in enumerate(preps):
         try:
-            res = finish_read(prep, pairs, fh, label, contig)
-        finally:
-            if fh:
-                fh.close()
-        t, c = res["t"], res["c"]
-        out.append((label, f"{res['n_anchors']} anchors, "
-                           f"t {len(t.probs)}({t.score:.2f}) "
-                           f"c {len(c.probs)}({c.score:.2f})", tmp))
+            pairs = {s: assemble_pairs([f for f, o in zip(frags, owners)
+                                        if o == (key, s)]) for s in ("t", "c")}
+            tmp = (f"{out_tsv}.{os.getpid()}.{widx}.part" if out_tsv else None)
+            fh = open(tmp, "w") if tmp else None
+            try:
+                res = finish_read(prep, pairs, fh, label, contig)
+            finally:
+                if fh:
+                    fh.close()
+            t, c = res["t"], res["c"]
+            out.append((widx, label, f"{res['n_anchors']} anchors, "
+                        f"t {len(t.probs)}({t.score:.2f}) "
+                        f"c {len(c.probs)}({c.score:.2f})", tmp))
+        except Exception as exc:
+            out.append((widx, label, f"error: {exc}", None))
     return out_early + out
 
 
@@ -235,30 +253,45 @@ def main(argv=None):
              params, sm_type, out_tsv, args.substitute, args.targetRegions)
             for p in paths]
     if args.jobs > 1:
+        # spawn + CPU-only children: fork after XLA init deadlocks, and a
+        # spawned child re-running the accelerator plugin's sitecustomize
+        # would fight the parent for the device
         import multiprocessing as mp
-        with mp.Pool(args.jobs) as pool:
-            results = pool.map(_align_one, work)
+        saved = {k: os.environ.get(k)
+                 for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")}
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            with mp.get_context("spawn").Pool(args.jobs) as pool:
+                results = [(i, *r)
+                           for i, r in enumerate(pool.map(_align_one, work))]
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
     elif platform != "cpu" and sm_type != "echelon":
         # single-process TPU path: pool all reads' split jobs on the chip
         results = _batch_align_all(work)
     else:
-        results = [_align_one(w) for w in work]
+        results = [(i, *_align_one(w)) for i, w in enumerate(work)]
 
-    # failure recovery: retry errored reads on the serial path (the
-    # reference's jobTree re-runs failed jobs; SURVEY §2.3 P5)
-    by_label = {os.path.basename(w[0]): w for w in work}
+    # failure recovery: retry errored reads on the serial path, keyed by
+    # work index — never by basename, which can collide across directories
+    # (the reference's jobTree re-runs failed jobs; SURVEY §2.3 P5)
     for _attempt in range(max(args.retries, 0)):
-        redo = [i for i, (_l, m, _p) in enumerate(results)
+        redo = [i for i, (_w, _l, m, _p) in enumerate(results)
                 if m.startswith("error:")]
         if not redo:
             break
         for i in redo:
-            label = results[i][0]
+            widx, label = results[i][0], results[i][1]
             print(f"signal_align - retrying {label}", file=sys.stderr)
-            results[i] = _align_one(by_label[label])
+            results[i] = (widx, *_align_one(work[widx]))
     ok = 0
     with open(out_tsv, "a") as merged:
-        for label, msg, part in results:
+        for _widx, label, msg, part in results:
             print(f"signal_align - {label}: {msg}", file=sys.stderr)
             ok += "anchors" in msg
             if part and os.path.exists(part):

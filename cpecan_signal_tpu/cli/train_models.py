@@ -72,13 +72,66 @@ def _prepare_read(ref_seq, npread, params, descale=False):
             "c": (rc_trimmed, c_events, c_anchors, npread.complement_params)}
 
 
+_worker_caches: dict = {"model": {}, "density": {}}
+
+
+def _strand_estep(prep, strand, sm_type, model_path, state, params,
+                  assignment_threshold, density):
+    """One read-strand's E-step on the host engine; returns an accumulator.
+    Top-level so a multiprocessing pool can run reads in parallel (the
+    reference's 4-way worker pool, trainModels.py:107-113)."""
+    target, events, anchors, sp = prep[strand]
+    if len(events) == 0:
+        return None
+    cache = _worker_caches["model"]
+    if model_path not in cache:
+        cache[model_path] = load_pore_model(model_path)
+    pore = scale_model(cache[model_path], sp.scale, sp.shift, sp.var,
+                       sp.scale_sd, sp.var_sd)
+    if sm_type == "threeState":
+        make_sm = (lambda t, e, _p=pore, _s=state:
+                   make_signal_sm3(_p, t, e, _s["transitions"], _s["kmer_gaps"]))
+        return sm3_expectations(make_sm, target, events, anchors, params)
+    if sm_type == "vanilla":
+        sname = "template" if strand == "t" else "complement"
+        make_sm = (lambda t, e, _p=pore, _s=state, _n=sname:
+                   make_signal_vanilla(_p, t, e, _n, _s["bins"]))
+        return vanilla_expectations(make_sm, target, events, anchors, params)
+    if sm_type == "threeStateHdp":
+        make_sm = (lambda t, e, _d=density, _s=state:
+                   make_signal_sm3_hdp(_d, t, e, _s["transitions"]))
+        return hdp_expectations(make_sm, target, events, anchors, params,
+                                assignment_threshold)
+    raise ValueError(f"EM for {sm_type} not driven by this CLI")
+
+
+def _pool_estep(args):
+    """Worker for --jobs: one read-strand's tallies from picklable inputs."""
+    (prep, strand, sm_type, model_path, state, params,
+     assignment_threshold, hdp_path) = args
+    from ..utils.platform import ensure_host_platform
+    ensure_host_platform()
+    density = None
+    if hdp_path is not None:
+        key = (hdp_path, os.path.getmtime(hdp_path))
+        dcache = _worker_caches["density"]
+        if key not in dcache:
+            from ..hdp.nanopore import deserialize_nhdp
+            dcache.clear()  # at most one live density table per strand file
+            dcache[key] = deserialize_nhdp(hdp_path).density_logp_fn()
+        density = dcache[key]
+    return _strand_estep(prep, strand, sm_type, model_path, state, params,
+                         assignment_threshold, density)
+
+
 def train(ref_path: str, npread_paths: list[str], template_model_path: str,
           complement_model_path: str, iterations: int = 10,
           sm_type: str = "threeState", params: AlignmentParams | None = None,
           out_dir: str = ".", assignment_threshold: float = 0.0,
           checkpoint_dir: str | None = None,
           template_hdp: str | None = None, complement_hdp: str | None = None,
-          gibbs: dict | None = None, log=print) -> dict:
+          gibbs: dict | None = None, jobs: int = 1, engine: str = "auto",
+          log=print) -> dict:
     """Run EM; returns final accumulators per strand and likelihood history.
 
     For ``sm_type == "threeStateHdp"`` the full reference loop runs
@@ -117,6 +170,28 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
         raise RuntimeError("no mappable training reads")
     log(f"train_models - using {len(reads)} reads")
 
+    # E-step engine: the Pallas device path is the production route for
+    # threeState (every read's splits pooled into width-bucketed chip
+    # batches, built once); the host f64 scan engine is the oracle fallback
+    # and the path the --jobs process pool uses (the reference's 4-way pool,
+    # trainModels.py:107-113).
+    import jax
+    if engine == "auto":
+        engine = ("pallas" if sm_type == "threeState"
+                  and jax.default_backend() != "cpu" and jobs == 1 else "host")
+    buckets = None
+    if engine == "pallas":
+        if sm_type != "threeState":
+            raise ValueError("the pallas EM engine drives threeState")
+        from ..em.pallas_em import (build_sm3_em_buckets, collect_sm3_em_jobs,
+                                    sm3_em_step)
+        buckets = {}
+        for strand in ("t", "c"):
+            sj = collect_sm3_em_jobs(reads, models, params, strand)
+            buckets[strand] = build_sm3_em_buckets(sj)
+            log(f"train_models - pallas EM strand {strand}: {len(sj)} split "
+                f"jobs in {len(buckets[strand])} device buckets")
+
     state = {s: {"transitions": None, "kmer_gaps": None, "bins": None}
              for s in ("t", "c")}
     history = []
@@ -136,6 +211,8 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
                             {kk: np.asarray(v) for kk, v in st[k].items()}
                             if isinstance(st[k], dict) else np.asarray(st[k]))
             log(f"train_models - resumed from {ckpt} at iteration {start_iter}")
+    model_paths = {"t": template_model_path, "c": complement_model_path}
+    hdp_paths = {"t": template_hdp, "c": complement_hdp}
     for it in range(start_iter, iterations):
         accs = {}
         for strand in ("t", "c"):
@@ -145,33 +222,55 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
                 acc = VanillaHmm.empty()
             else:
                 acc = HdpHmm.empty(threshold=assignment_threshold)
-            for prep in reads:
-                target, events, anchors, sp = prep[strand]
-                if len(events) == 0:
-                    continue
-                pore = scale_model(models[strand], sp.scale, sp.shift, sp.var,
-                                   sp.scale_sd, sp.var_sd)
-                st = state[strand]
-                if sm_type == "threeState":
-                    make_sm = (lambda t, e, _p=pore, _s=st:
-                               make_signal_sm3(_p, t, e, _s["transitions"], _s["kmer_gaps"]))
-                    r = sm3_expectations(make_sm, target, events, anchors, params)
-                elif sm_type == "vanilla":
-                    sname = "template" if strand == "t" else "complement"
-                    make_sm = (lambda t, e, _p=pore, _s=st, _n=sname:
-                               make_signal_vanilla(_p, t, e, _n, _s["bins"]))
-                    r = vanilla_expectations(make_sm, target, events, anchors, params)
-                elif sm_type == "threeStateHdp":
-                    make_sm = (lambda t, e, _d=density[strand], _s=st:
-                               make_signal_sm3_hdp(_d, t, e, _s["transitions"]))
-                    r = hdp_expectations(make_sm, target, events, anchors,
-                                         params, assignment_threshold)
-                else:
-                    raise ValueError(f"EM for {sm_type} not driven by this CLI")
-                acc.add(r)
+            st = state[strand]
+            if buckets is not None:
+                trans, kmer_gap, lik = sm3_em_step(
+                    buckets[strand], st["transitions"], st["kmer_gaps"])
+                acc.transitions = acc.transitions + trans
+                acc.kmer_gap = acc.kmer_gap + kmer_gap
+                acc.likelihood = lik
+            elif jobs > 1:
+                # spawn, not fork: the parent has a live XLA runtime whose
+                # thread pools do not survive fork
+                import multiprocessing as mp
+                ctx = mp.get_context("spawn")
+                hp = (hdp_paths[strand] if sm_type == "threeStateHdp" else None)
+                if sm_type == "threeStateHdp" and it > start_iter:
+                    # later iterations load the rebuilt strand HDP
+                    name = "template" if strand == "t" else "complement"
+                    cand = os.path.join(out_dir, f"{name}_trained.nhdp")
+                    if os.path.exists(cand):
+                        hp = cand
+                args = [(prep, strand, sm_type, model_paths[strand], st,
+                         params, assignment_threshold, hp) for prep in reads]
+                # spawned children must come up CPU-only: an accelerator
+                # plugin registering at child startup would fight the
+                # parent for the device
+                saved = {k: os.environ.get(k)
+                         for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")}
+                os.environ["PALLAS_AXON_POOL_IPS"] = ""
+                os.environ["JAX_PLATFORMS"] = "cpu"
+                try:
+                    with ctx.Pool(jobs) as pool:
+                        for r in pool.imap_unordered(_pool_estep, args):
+                            if r is not None:
+                                acc.add(r)
+                finally:
+                    for k, v in saved.items():
+                        if v is None:
+                            os.environ.pop(k, None)
+                        else:
+                            os.environ[k] = v
+            else:
+                for prep in reads:
+                    r = _strand_estep(prep, strand, sm_type,
+                                      model_paths[strand], st, params,
+                                      assignment_threshold,
+                                      density.get(strand))
+                    if r is not None:
+                        acc.add(r)
             acc.normalize()
             accs[strand] = acc
-            st = state[strand]
             if sm_type == "threeState":
                 st["transitions"], st["kmer_gaps"] = acc.to_sm3_params()
             elif sm_type == "vanilla":
@@ -242,6 +341,14 @@ def main(argv=None):
     ap.add_argument("--outDir", "-o", default=".")
     ap.add_argument("--amount", "-a", type=int, default=None,
                     help="cap total training bases (cull_training_files)")
+    ap.add_argument("--jobs", "-j", type=int, default=1,
+                    help="host worker processes for the E-step (the "
+                         "reference's 4-way pool); ignored on the device path")
+    ap.add_argument("--engine", choices=("auto", "pallas", "host"),
+                    default="auto",
+                    help="E-step engine: 'pallas' = device fast path "
+                         "(threeState), 'host' = f64 scan loop, 'auto' picks "
+                         "pallas on TPU")
     args = ap.parse_args(argv)
 
     if os.path.isdir(args.npReads):
@@ -265,7 +372,8 @@ def main(argv=None):
           assignment_threshold=args.assignmentThreshold,
           template_hdp=args.templateHdp, complement_hdp=args.complementHdp,
           gibbs=dict(num_samples=args.samples, burn_in=args.burnIn,
-                     thinning=args.thinning))
+                     thinning=args.thinning),
+          jobs=args.jobs, engine=args.engine)
     return 0
 
 

@@ -58,9 +58,14 @@ def batch_align_jobs(jobs: list[SplitJob], threshold: float, *,
             plan = None
             probs = []
             for i in chunk:
-                plan, prob = pp.make_window_pallas_problem(
+                iplan, prob = pp.make_window_pallas_problem(
                     jobs[i].sm, wbands[i], ragged_left=jobs[i].ragged_left,
                     ragged_right=jobs[i].ragged_right, pad_d=Dmax)
+                # bucketing keys on spec name; a machine whose plan varied
+                # per problem under one name would silently run with the
+                # wrong edge set (EnginePlan is frozen, == is cheap)
+                assert plan is None or iplan == plan, (jobs[i].sm.spec.name,)
+                plan = iplan
                 probs.append(prob)
             batch = pp.stack_problems(probs)
             if interpret:

@@ -280,7 +280,11 @@ def make_window_pallas_problem(sm, wband: WindowBand, *, ragged_left=True,
     comb[:D, :C] = np.maximum(E[:D], NEG_INF)
     comb[:D, C:] = np.maximum(TP[:D], NEG_INF)
 
-    ds, _w0 = _window_diag_scalars(wband, Dp)
+    ds, w0 = _window_diag_scalars(wband, Dp)
+    # DS_XS (x-window step) so stage-4 gapX window tracking is correct for
+    # generic problems too; the PADX offset cancels in the difference
+    x_of_j0 = (np.arange(Dp) + w0) // 2
+    ds[1:Dp, 0, pk.DS_XS] = np.clip(x_of_j0[1:] - x_of_j0[:-1], 0, 1)
     ds[Dp] = ds[Dp - 1]
 
     tp_scalar = np.asarray(winp.tp_scalar)

@@ -45,7 +45,8 @@ def initialize(coordinator_address: str | None = None,
 
 
 def is_initialized() -> bool:
-    return jax.process_count() > 1 or jax.process_index() >= 0
+    """True once ``initialize`` brought up the multi-controller runtime."""
+    return jax.distributed.is_initialized()
 
 
 def global_data_mesh() -> Mesh:

@@ -65,3 +65,27 @@ def test_vanilla_model_cli(tmp_path):
     assert rc == 0
     rows = [line.split("\t") for line in open(tsv)]
     assert len(rows) > 500
+
+
+def test_train_models_jobs_pool_matches_serial(tmp_path):
+    """--jobs worker-pool E-step (the reference's 4-way pool,
+    trainModels.py:107-113) produces the same trained HMM as the serial
+    host path."""
+    from cpecan_signal_tpu.cli.train_models import train
+    os.makedirs(tmp_path / "serial")
+    os.makedirs(tmp_path / "pool")
+    r1 = train(REF, [NPREAD],
+               "/root/reference/models/template_median68pA.model",
+               "/root/reference/models/complement_median68pA_pop2.model",
+               iterations=1, sm_type="threeState",
+               out_dir=str(tmp_path / "serial"), log=lambda *a: None)
+    r2 = train(REF, [NPREAD],
+               "/root/reference/models/template_median68pA.model",
+               "/root/reference/models/complement_median68pA_pop2.model",
+               iterations=1, sm_type="threeState", jobs=2,
+               out_dir=str(tmp_path / "pool"), log=lambda *a: None)
+    assert r1["likelihoods"][0] == pytest.approx(r2["likelihoods"][0], rel=1e-12)
+    a1 = r1["accumulators"]["t"]
+    a2 = r2["accumulators"]["t"]
+    np.testing.assert_allclose(a1.transitions, a2.transitions, rtol=1e-12)
+    np.testing.assert_allclose(a1.kmer_gap, a2.kmer_gap, rtol=1e-12)

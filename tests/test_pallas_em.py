@@ -1,0 +1,94 @@
+"""Production Pallas EM driver (em/pallas_em.py) vs the host f64 scan engine.
+
+Two EM iterations on synthetic reads: iteration 0 checks the bucketed device
+E-step against summing sm3_expectations per read-strand (the train_models host
+path); iteration 1 feeds trained (transitions, kmer_gaps) back in, exercising
+the device-side updates of xarr row 12 / tp_scalar / boundary vectors.
+"""
+
+import numpy as np
+
+from cpecan_signal_tpu.constants import MODEL_PARAMS, NUM_OF_KMERS
+from cpecan_signal_tpu.core.kmers import sequence_kmer_ranks
+from cpecan_signal_tpu.em.accumulators import ContinuousPairHmm
+from cpecan_signal_tpu.em.expectation_driver import sm3_expectations
+from cpecan_signal_tpu.em.pallas_em import (build_sm3_em_buckets,
+                                            collect_sm3_em_jobs, sm3_em_step)
+from cpecan_signal_tpu.io.npread import ScaleParams
+from cpecan_signal_tpu.models.params import AlignmentParams
+from cpecan_signal_tpu.models.pore_model import PoreModel
+from cpecan_signal_tpu.models.state_machines import make_signal_sm3
+
+
+def _reads_and_model(n_reads=3, n_bases=36, seed=11):
+    rng = np.random.default_rng(seed)
+    match = np.zeros((NUM_OF_KMERS + 2, MODEL_PARAMS))
+    match[:NUM_OF_KMERS, 0] = rng.uniform(40, 90, NUM_OF_KMERS)
+    match[:NUM_OF_KMERS, 1] = 1.0
+    match[:NUM_OF_KMERS, 2] = rng.uniform(1, 3, NUM_OF_KMERS)
+    match[:NUM_OF_KMERS, 3] = 0.3
+    match[:NUM_OF_KMERS, 4] = 5.0
+    pore = PoreModel(0.9, match, 0.9, match.copy(), np.full(60, 1 / 30))
+    sp = ScaleParams(1.0, 0.0, 1.0, 1.0, 1.0)
+
+    reads = []
+    for r in range(n_reads):
+        prep = {}
+        for strand in ("t", "c"):
+            target = "".join(rng.choice(list("ACGT"), n_bases))
+            ranks = sequence_kmer_ranks(target)
+            n_ev = len(ranks) - int(rng.integers(0, 6))
+            events = np.stack(
+                [match[ranks[:n_ev], 0] + rng.normal(0, 0.5, n_ev),
+                 np.full(n_ev, 2.0), np.full(n_ev, 0.01)], axis=1)
+            anchors = np.zeros((0, 2), dtype=np.int64)
+            prep[strand] = (target, events, anchors, sp)
+        reads.append(prep)
+    return reads, {"t": pore, "c": pore}
+
+
+def _host_estep(reads, models, params, strand, transitions, kmer_gaps):
+    from cpecan_signal_tpu.models.pore_model import scale_model
+
+    acc = ContinuousPairHmm.empty()
+    for prep in reads:
+        target, events, anchors, sp = prep[strand]
+        # same per-read rescale the pallas job collector applies (identity
+        # params still recompute noise_sd = sqrt(mu^3/lambda))
+        pore = scale_model(models[strand], sp.scale, sp.shift, sp.var,
+                           sp.scale_sd, sp.var_sd)
+        make_sm = (lambda t, e, _p=pore: make_signal_sm3(
+            _p, t, e, transitions, kmer_gaps))
+        acc.add(sm3_expectations(make_sm, target, events, anchors, params))
+    return acc
+
+
+def test_pallas_em_driver_matches_host_two_iterations():
+    reads, models = _reads_and_model()
+    params = AlignmentParams(diagonal_expansion=4)
+
+    state = {s: {"transitions": None, "kmer_gaps": None} for s in ("t",)}
+    # one strand keeps interpret-mode wall clock low; the loop logic is
+    # strand-symmetric (train_models keeps identical per-strand state dicts)
+    buckets = {s: build_sm3_em_buckets(
+        collect_sm3_em_jobs(reads, models, params, s), interpret=True)
+        for s in ("t",)}
+
+    for it in range(2):
+        for strand in ("t",):
+            st = state[strand]
+            trans_k, kmer_k, lik_k = sm3_em_step(
+                buckets[strand], st["transitions"], st["kmer_gaps"])
+            acc = _host_estep(reads, models, params, strand,
+                              st["transitions"], st["kmer_gaps"])
+            np.testing.assert_allclose(trans_k, acc.transitions, rtol=1e-3,
+                                       atol=1e-4)
+            np.testing.assert_allclose(kmer_k, acc.kmer_gap[:NUM_OF_KMERS],
+                                       rtol=1e-3, atol=1e-4)
+            assert abs(lik_k - acc.likelihood) < 1e-3 * abs(acc.likelihood)
+            if it == 0:
+                # M-step params for iteration 1 (exercises the device-side
+                # updates of xarr row 12 / tp_scalar / boundary vectors)
+                acc.normalize()
+                t, k = acc.to_sm3_params()
+                state[strand] = {"transitions": t, "kmer_gaps": k}

@@ -47,7 +47,8 @@ def test_cross_read_batch_matches_serial(tmp_path):
     res_b = _batch_align_all(work_b)
     res_s = [_align_one(w) for w in work_s]
     assert len(res_b) == len(res_s) == 2
-    for (lb, mb, pb), (ls, ms, ps) in zip(res_b, res_s):
+    assert [w for w, *_r in res_b] == [0, 1]  # work-index keyed results
+    for (_wb, lb, mb, pb), (ls, ms, ps) in zip(res_b, res_s):
         assert lb == ls
         assert "anchors" in mb and "anchors" in ms
         rb, rs = _rows(pb), _rows(ps)
