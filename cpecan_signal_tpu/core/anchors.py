@@ -90,10 +90,20 @@ def remap_anchor_pairs_with_offset(pairs: np.ndarray, event_map: np.ndarray,
 
 def get_split_points(anchor_pairs: np.ndarray, lX: int, lY: int,
                      split_matrix_bigger_than_this: int,
-                     ragged_left: bool, ragged_right: bool) -> list[tuple[int, int, int, int]]:
+                     ragged_left: bool, ragged_right: bool,
+                     max_gap_min_dim: int | None = None) -> list[tuple[int, int, int, int]]:
     """Split the alignment into sub-rectangles wherever the gap between
     consecutive anchors exceeds the area cap (getSplitPoints,
-    pairwiseAligner.c:1289-1340).  Returns [(x1, y1, x2, y2), ...]."""
+    pairwiseAligner.c:1289-1340).  Returns [(x1, y1, x2, y2), ...].
+
+    max_gap_min_dim (TPU extension, off by default): additionally split when
+    min(gap_x, gap_y) exceeds it.  The banded window's width between two
+    distant anchors grows to ~min(gap_x, gap_y) + 2*expansion + 1, so an
+    unanchored square transient inflates the static window width W for the
+    whole problem (VERDICT r2: the W=512 bucket was 80% masked lanes); the
+    width split caps W at ~max_gap_min_dim + 2*expansion + 1 by cutting the
+    unanchored middle of the gap exactly like the reference's area split
+    (ragged ends, uncovered center)."""
     anchors = np.asarray(anchor_pairs, dtype=np.int64).reshape(-1, 2)
     split_points: list[tuple[int, int, int, int]] = []
     x1 = y1 = 0
@@ -103,8 +113,12 @@ def get_split_points(anchor_pairs: np.ndarray, lX: int, lY: int,
         nonlocal x1, y1
         lX2 = x3 - x2
         lY2 = y3 - y2
-        if lX2 * lY2 > split_matrix_bigger_than_this:
+        wide = (max_gap_min_dim is not None
+                and min(lX2, lY2) > max_gap_min_dim)
+        if lX2 * lY2 > split_matrix_bigger_than_this or wide:
             max_len = int(math.sqrt(split_matrix_bigger_than_this))
+            if wide:
+                max_len = min(max_len, max_gap_min_dim // 2)
             hX = min(lX2 // 2, max_len)
             hY = min(lY2 // 2, max_len)
             if not skip_block:

@@ -23,7 +23,8 @@ def _split_loop(target_len_dp, events_len, anchors, params, ragged_left, ragged_
     anchors = np.asarray(anchors, dtype=np.int64).reshape(-1, 2)
     splits = get_split_points(anchors, target_len_dp, events_len,
                               params.split_matrix_bigger_than_this,
-                              ragged_left, ragged_right)
+                              ragged_left, ragged_right,
+                              max_gap_min_dim=params.max_gap_min_dim)
     for i, (x1, y1, x2, y2) in enumerate(splits):
         sub_anchors = anchors_in_window(anchors, x1, y1, x2, y2)
         band = band_construct(sub_anchors, x2 - x1, y2 - y1, params.diagonal_expansion)

@@ -80,7 +80,8 @@ def collect_split_jobs(
     lY = len(events)
     anchors = np.asarray(anchors, dtype=np.int64).reshape(-1, 2)
     splits = get_split_points(anchors, lX, lY, params.split_matrix_bigger_than_this,
-                              ragged_left, ragged_right)
+                              ragged_left, ragged_right,
+                              max_gap_min_dim=params.max_gap_min_dim)
     jobs = []
     for i, (x1, y1, x2, y2) in enumerate(splits):
         sub_target = target_seq[x1: x2 + KMER_LENGTH - 1]
@@ -121,7 +122,8 @@ def align_events_to_target(
     lY = len(events)
     anchors = np.asarray(anchors, dtype=np.int64).reshape(-1, 2)
     splits = get_split_points(anchors, lX, lY, params.split_matrix_bigger_than_this,
-                              ragged_left, ragged_right)
+                              ragged_left, ragged_right,
+                              max_gap_min_dim=params.max_gap_min_dim)
     all_probs, all_x, all_y = [], [], []
     for i, (x1, y1, x2, y2) in enumerate(splits):
         sub_target = target_seq[x1: x2 + KMER_LENGTH - 1]
@@ -178,7 +180,8 @@ def align_sequence_pair(
     lX, lY = len(seq_x), len(seq_y)
     anchors = np.asarray(anchors, dtype=np.int64).reshape(-1, 2)
     splits = get_split_points(anchors, lX, lY, params.split_matrix_bigger_than_this,
-                              ragged_left, ragged_right)
+                              ragged_left, ragged_right,
+                              max_gap_min_dim=params.max_gap_min_dim)
     all_probs, all_x, all_y = [], [], []
     for i, (x1, y1, x2, y2) in enumerate(splits):
         sub_x = seq_x[x1:x2]

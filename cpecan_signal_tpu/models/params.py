@@ -22,6 +22,10 @@ class AlignmentParams:
     split_matrix_bigger_than_this: int = 3000 * 3000
     align_ambiguity_characters: bool = False
     gap_gamma: float = 0.5
+    # TPU extension (None = reference parity): split unanchored gaps whose
+    # min dimension exceeds this, capping the static window width at
+    # ~max_gap_min_dim + 2*expansion + 1 (see core/anchors.get_split_points).
+    max_gap_min_dim: int | None = None
 
     def with_(self, **kw) -> "AlignmentParams":
         return replace(self, **kw)

@@ -48,7 +48,12 @@ from ..models.state_machines import (SHORT_GAP_X, SRC_LOWER, SRC_MIDDLE,
 
 NEG_INF = -1e30  # finite stand-in: keeps f32 arithmetic NaN-free in-kernel
 _LOG_UNDERFLOW = 7.5
-KD = 16  # diagonals per grid step (all three kernels share the block size)
+# Diagonals per grid step (all three kernels share the block size).  kd=8
+# halves the per-step VMEM footprint vs 16, which is what lets Bt (problems
+# per block) grow to 24-48: wide blocks are the single biggest perf lever —
+# the serial diagonal recursion is VPU-op-latency-bound, and ops spanning
+# >= 6 vregs (Bt*W >= ~6k elements) hide that latency (real-chip sweep, r3).
+KD = 8
 
 
 def _ladd(x, y):
@@ -264,15 +269,22 @@ def _forward_kernel(plan, Bt, W, kd, E_ref, ds_ref, dlast_ref, start_ref,
 
 
 def _pick_bt(Bn: int, W: int, Bt: int | None, kd: int = 1,
-             vmem_budget: int = 6 * 1024 * 1024, rows: int = 14) -> int:
+             vmem_budget: int = 6 * 1024 * 1024, rows: int = 14,
+             fixed_bytes: int = 0, cap: int | None = None) -> int:
     """Problems per block: as many as VMEM comfortably allows (grid-step
     overhead dominates at small Bt), rounded down to a divisor of Bn.  The
     budget covers ``rows`` (kd, W)-row f32 blocks per problem — for SM3's
     backward that is ~14 (2xE, 2xF, outputs) plus carries — times double
-    buffering; wide-channel machines (echelon) pass a larger row count."""
+    buffering; wide-channel machines (echelon) pass a larger row count.
+    ``fixed_bytes`` counts grid-constant per-problem VMEM blocks (the fused
+    kernels' parameter packs, which Mosaic keeps resident — not
+    double-buffered — because their block index never changes); ``cap``
+    bounds Bt from above (SMEM row budgets)."""
     if Bt is None:
-        per_problem = max(kd, 1) * max(W, 1) * 4 * max(rows, 1) * 2
+        per_problem = max(kd, 1) * max(W, 1) * 4 * max(rows, 1) * 2 + fixed_bytes
         Bt = max(8, vmem_budget // per_problem)
+    if cap is not None:
+        Bt = min(Bt, max(cap, 1))
     Bt = min(Bt, Bn)
     # Mosaic requires the sublane block dim divisible by 8 or equal to the
     # array dim (the (Bt, 1) scalar inputs hit this): accept Bt == Bn or a
@@ -581,3 +593,17 @@ def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
         interpret=interpret,
     )(E, E, Fpad, Fpad, ds, ds,
       d_last.reshape(Bn, 1), end, tp_scalar)
+
+
+# ---------------------------------------------------------------------------
+# A fused-emissions variant (computing emission rows inside forward/backward
+# from the parameter packs, state-major (Bt, W) tiles, parity ping-pong
+# carries) was built and measured on the real chip in round 3: it LOST to
+# this three-kernel pipeline.  The kernels are op-latency-bound, not
+# HBM-bound (~30 GB/s of 819), and the per-problem emission gather inside
+# the serial diagonal recursion added Bt x ~15 dependent small-tile ops per
+# diagonal, swamping the saved E round-trips.  The separate emissions kernel
+# pipelines those gathers across independent (problem, diagonal) pairs.  The
+# winning levers were: wide problem blocks (Bt up to 48; vector ops then
+# span >= 6 vregs, hiding VPU op latency) and kd=8 blocks so the wide
+# blocks still fit VMEM.  See git history for the fused implementation.
