@@ -125,6 +125,85 @@ def reference_engine_seconds(raw, params):
     return secs
 
 
+def evolve_sequence(seq, rng, sub=0.05, indel=0.02):
+    """Mutate a nucleotide sequence (substitutions + short indels), the
+    shape of the reference's evolveSequence test generator
+    (tests/randomSequences.c:13-58)."""
+    bases = "ACGT"
+    out = []
+    i = 0
+    while i < len(seq):
+        r = rng.random()
+        if r < indel / 2:          # deletion of 1-3
+            i += int(rng.integers(1, 4))
+            continue
+        if r < indel:              # insertion of 1-3
+            out.extend(rng.choice(list(bases), int(rng.integers(1, 4))))
+        c = seq[i]
+        if rng.random() < sub:
+            c = bases[int(rng.integers(4))]
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def simulate_read(pore, target, rng, stay=0.10, skip=0.04, noise_sd=0.6):
+    """Simulate an event sequence from the pore model walking the target's
+    k-mers with stay/skip moves (the threeState generative process), plus
+    guide-like anchors subsampled from the true path."""
+    from cpecan_signal_tpu.core.kmers import sequence_kmer_ranks
+
+    ranks = sequence_kmer_ranks(target)
+    events, path = [], []
+    k = 0
+    while k < len(ranks):
+        r = pore.match_model[ranks[k]]
+        mean = r[0] + rng.normal(0.0, noise_sd)
+        sd_noise = max(r[2] + rng.normal(0.0, 0.2), 0.3)
+        events.append((mean, sd_noise, max(rng.normal(0.01, 0.004), 0.002)))
+        path.append((k, len(events) - 1))
+        u = rng.random()
+        if u < stay:
+            continue                       # next event, same kmer
+        k += 1
+        if u > 1.0 - skip:
+            k += 1                         # skip a kmer
+    events = np.asarray(events, dtype=np.float64)
+    anchors = []
+    for (x, y) in path[:: max(len(path) // 40, 1)]:
+        if x < len(ranks) and y < len(events):
+            anchors.append((x, y))
+    from cpecan_signal_tpu.core.anchors import filter_to_remove_overlap
+    anchors = filter_to_remove_overlap(np.asarray(anchors, dtype=np.int64))
+    return events, anchors
+
+
+def build_read_set(raw):
+    """2 real fixture strands + 8 synthetic reads of varied length/identity."""
+    from cpecan_signal_tpu.io.fasta import read_first_sequence
+
+    reads = []
+    seen = set()
+    for (pore, target, events, anchors, _band, _n, model_path, _sp) in raw:
+        if model_path in seen:
+            continue
+        seen.add(model_path)
+        reads.append((pore, target, events, anchors))   # full real strands
+
+    _, ref_seq = read_first_sequence(REF)
+    rng = np.random.default_rng(42)
+    tpore = reads[0][0]
+    specs = [(600, 0.02, 0.01), (900, 0.05, 0.02), (400, 0.10, 0.04),
+             (1200, 0.03, 0.015), (700, 0.08, 0.03), (500, 0.15, 0.05),
+             (1000, 0.01, 0.005), (800, 0.06, 0.02)]
+    for n_bases, sub, indel in specs:
+        lo = int(rng.integers(0, max(len(ref_seq) - n_bases - 1, 1)))
+        target = evolve_sequence(ref_seq[lo:lo + n_bases], rng, sub, indel)
+        events, anchors = simulate_read(tpore, target, rng)
+        reads.append((tpore, target, events, anchors))
+    return reads
+
+
 def main():
     import jax
 
@@ -285,6 +364,43 @@ def main():
         f"({events_per_sec:,.0f} covered ev/s); EM step {em_dt*1000:.1f} ms "
         f"({ev_total/em_dt:,.0f} ev/s, {1/em_dt:.2f} steps/s); "
         f"~{gb/dt:.0f} GB/s of ~819 GB/s HBM (v5e) incl. masked band waste")
+
+    # --- end-to-end reads/s (BASELINE.md primary metric): the CLI path —
+    # anchor handling, split/window construction, host packing, device
+    # batches, pair extraction — on a diverse read set: both real fixture
+    # strands + synthetic reads simulated from the pore model over mutated
+    # ZymoRef segments (evolveSequence-style, randomSequences.c:13-58) with
+    # varied lengths and error rates.  Includes tunnel dispatch overhead, so
+    # this is a lower bound on a locally-attached chip. ---
+    reads = build_read_set(raw)
+    n_ev_reads = sum(len(ev) for _pore, _t, ev, _a in reads)
+    log(f"bench - read set: {len(reads)} reads, {n_ev_reads} events "
+        f"(2 real fixture strands + {len(reads) - 2} synthetic)")
+
+    from cpecan_signal_tpu.engine.align import collect_split_jobs
+    from cpecan_signal_tpu.engine.batch_align import batch_align_jobs
+    from cpecan_signal_tpu.models.state_machines import make_signal_sm3
+    align_params = params.with_(max_gap_min_dim=max_gap)
+
+    def run_reads():
+        all_jobs = []
+        for pore, target, events, anchors in reads:
+            mk = lambda t, e, _p=pore: make_signal_sm3(_p, t, e)
+            all_jobs.extend(collect_split_jobs(mk, target, events, anchors,
+                                               align_params))
+        pairs = batch_align_jobs(all_jobs, params.threshold)
+        return sum(len(p.probs) for p in pairs)
+
+    n_pairs = run_reads()   # warm (compile)
+    rtimes = []
+    for _i in range(ITERS):
+        t0 = time.perf_counter()
+        n_pairs = run_reads()
+        rtimes.append(time.perf_counter() - t0)
+    rdt = min(rtimes)
+    log(f"bench - end-to-end CLI path: {len(reads)} reads in {rdt*1000:.0f} ms "
+        f"({len(reads)/rdt:.1f} reads/s/chip, {n_ev_reads/rdt:,.0f} ev/s "
+        f"incl. host prep + tunnel dispatch; {n_pairs} aligned pairs)")
 
     # --- single-core reference engine on identical (unsplit) inputs ---
     secs = reference_engine_seconds(raw, params)

@@ -177,18 +177,23 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
     # trainModels.py:107-113).
     import jax
     if engine == "auto":
-        engine = ("pallas" if sm_type == "threeState"
+        engine = ("pallas" if sm_type in ("threeState", "vanilla")
                   and jax.default_backend() != "cpu" and jobs == 1 else "host")
     buckets = None
     if engine == "pallas":
-        if sm_type != "threeState":
-            raise ValueError("the pallas EM engine drives threeState")
-        from ..em.pallas_em import (build_sm3_em_buckets, collect_sm3_em_jobs,
-                                    sm3_em_step)
+        if sm_type not in ("threeState", "vanilla"):
+            raise ValueError("the pallas EM engine drives threeState/vanilla")
+        from ..em.pallas_em import (build_sm3_em_buckets,
+                                    build_vanilla_em_buckets,
+                                    collect_sm3_em_jobs, sm3_em_step,
+                                    vanilla_em_step)
         buckets = {}
         for strand in ("t", "c"):
             sj = collect_sm3_em_jobs(reads, models, params, strand)
-            buckets[strand] = build_sm3_em_buckets(sj)
+            if sm_type == "threeState":
+                buckets[strand] = build_sm3_em_buckets(sj)
+            else:
+                buckets[strand] = build_vanilla_em_buckets(sj, strand)
             log(f"train_models - pallas EM strand {strand}: {len(sj)} split "
                 f"jobs in {len(buckets[strand])} device buckets")
 
@@ -223,11 +228,17 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
             else:
                 acc = HdpHmm.empty(threshold=assignment_threshold)
             st = state[strand]
-            if buckets is not None:
+            if buckets is not None and sm_type == "threeState":
                 trans, kmer_gap, lik = sm3_em_step(
                     buckets[strand], st["transitions"], st["kmer_gaps"])
                 acc.transitions = acc.transitions + trans
                 acc.kmer_gap = acc.kmer_gap + kmer_gap
+                acc.likelihood = lik
+            elif buckets is not None:  # vanilla
+                cur_bins = (st["bins"] if st["bins"] is not None
+                            else models[strand].skip_bins)
+                tallies, lik = vanilla_em_step(buckets[strand], cur_bins)
+                acc.bins = acc.bins + tallies
                 acc.likelihood = lik
             elif jobs > 1:
                 # spawn, not fork: the parent has a live XLA runtime whose

@@ -31,13 +31,29 @@ def _jit_runner(plan, W):
     return jax.jit(partial(pp.run_window_pallas, plan, W))
 
 
+@lru_cache(maxsize=64)
+def _jit_sm3_runner(plan, W):
+    import jax
+
+    from . import pallas_pipeline as pp
+
+    return jax.jit(partial(pp.run_sm3_pallas, plan, W, stages=3))
+
+
 def batch_align_jobs(jobs: list[SplitJob], threshold: float, *,
                      width_multiple: int = 128,
                      interpret: bool | None = None) -> list[AlignedPairs]:
     """Run every job's banded FB on device (bucketed + stacked) and return
     per-job AlignedPairs (split-local coordinates already shifted by the
     job's off_x/off_y).  interpret=None auto-selects interpret mode off the
-    default backend (CPU runs the Pallas kernels in interpret mode)."""
+    default backend (CPU runs the Pallas kernels in interpret mode).
+
+    threeState jobs take the SM3 parameter-pack pipeline (emissions computed
+    on device from per-x/per-y packs, make_sm3_pallas_problem) — ~30x less
+    host packing + host->device traffic than the generic window path, which
+    builds the full (Dp, C, W) emission grid host-side.  Machines with
+    per-cell transitions or table emissions (vanilla/echelon/HDP) use the
+    generic path."""
     import jax
 
     from . import pallas_pipeline as pp
@@ -48,19 +64,33 @@ def batch_align_jobs(jobs: list[SplitJob], threshold: float, *,
     wbands = [smooth_band(j.band, width_multiple=width_multiple) for j in jobs]
     groups: dict[tuple, list[int]] = {}
     for i, (j, wb) in enumerate(zip(jobs, wbands)):
-        groups.setdefault((j.sm.spec.name, wb.W), []).append(i)
+        packable = hasattr(j.sm, "sm3_pack")
+        groups.setdefault((j.sm.spec.name, wb.W, packable), []).append(i)
 
     out: list[AlignedPairs | None] = [None] * len(jobs)
-    for (_name, W), idxs in groups.items():
+    for (_name, W, packable), idxs in groups.items():
         for lo in range(0, len(idxs), MAX_BUCKET):
             chunk = idxs[lo:lo + MAX_BUCKET]
             Dmax = max(wbands[i].n_diagonals for i in chunk)
             plan = None
             probs = []
+            if packable:
+                lxp = max(len(jobs[i].sm.sm3_pack[1]) for i in chunk)
+                lyp = max(len(jobs[i].sm.sm3_pack[2]) for i in chunk)
             for i in chunk:
-                iplan, prob = pp.make_window_pallas_problem(
-                    jobs[i].sm, wbands[i], ragged_left=jobs[i].ragged_left,
-                    ragged_right=jobs[i].ragged_right, pad_d=Dmax)
+                if packable:
+                    pore, target, events, trans, gapx = jobs[i].sm.sm3_pack
+                    iplan, prob = pp.make_sm3_pallas_problem(
+                        pore, target, events, wbands[i], transitions=trans,
+                        kmer_gap_probs=gapx,
+                        ragged_left=jobs[i].ragged_left,
+                        ragged_right=jobs[i].ragged_right,
+                        pad_lx=lxp, pad_ly=lyp, pad_d=Dmax)
+                else:
+                    iplan, prob = pp.make_window_pallas_problem(
+                        jobs[i].sm, wbands[i],
+                        ragged_left=jobs[i].ragged_left,
+                        ragged_right=jobs[i].ragged_right, pad_d=Dmax)
                 # bucketing keys on spec name; a machine whose plan varied
                 # per problem under one name would silently run with the
                 # wrong edge set (EnginePlan is frozen, == is cheap)
@@ -68,7 +98,13 @@ def batch_align_jobs(jobs: list[SplitJob], threshold: float, *,
                 plan = iplan
                 probs.append(prob)
             batch = pp.stack_problems(probs)
-            if interpret:
+            if packable:
+                if interpret:
+                    p, *_rest = pp.run_sm3_pallas(plan, W, batch, stages=3,
+                                                  interpret=True)
+                else:
+                    p, *_rest = _jit_sm3_runner(plan, W)(batch)
+            elif interpret:
                 p, _tot = pp.run_window_pallas(plan, W, batch, interpret=True)
             else:
                 p, _tot = _jit_runner(plan, W)(batch)

@@ -66,6 +66,22 @@ class EnginePlan:
     n_eclasses: int = 0
 
 
+def plan_key_names(sm: StateMachine) -> tuple[list[str], list[str]]:
+    """(scalar_keys, cell_keys) in the channel order _build_plan assigns —
+    the mapping a caller needs to regenerate per-cell transition channels
+    (e.g. the Pallas vanilla EM path's per-bin tables) device-side."""
+    scalar_keys: list[str] = []
+    cell_keys: list[str] = []
+    for e in sm.spec.edges:
+        for k in e.tkeys:
+            tv = sm.tvals[k]
+            if tv.kind == "s" and k not in scalar_keys:
+                scalar_keys.append(k)
+            elif tv.kind != "s" and k not in cell_keys:
+                cell_keys.append(k)
+    return scalar_keys, cell_keys
+
+
 def _build_plan(sm: StateMachine, logadd: str) -> tuple[EnginePlan, np.ndarray, list[np.ndarray]]:
     """Split the state machine's transition values into a scalar vector and a
     list of per-cell source arrays (per-x or per-y, resolved later)."""

@@ -259,6 +259,10 @@ class WindowPallasProblem(NamedTuple):
     start: jnp.ndarray         # (S,) f32
     end: jnp.ndarray
     tp_scalar: jnp.ndarray     # (max(n, 1),) f32
+    x0: jnp.ndarray            # (Dp+1,) int32 grid-x of window cell j=0 per
+                               # diagonal (the per-x key for the stage-4
+                               # windowed tallies: exits[d] belongs to column
+                               # x0[d] + W - 1, gacc lane j to x0[0] + j)
 
 
 def make_window_pallas_problem(sm, wband: WindowBand, *, ragged_left=True,
@@ -290,6 +294,9 @@ def make_window_pallas_problem(sm, wband: WindowBand, *, ragged_left=True,
     x_of_j0 = (np.arange(Dp) + w0) // 2
     ds[1:Dp, 0, pk.DS_XS] = np.clip(x_of_j0[1:] - x_of_j0[:-1], 0, 1)
     ds[Dp] = ds[Dp - 1]
+    x0 = np.zeros(Dp + 1, dtype=np.int32)
+    x0[:Dp] = x_of_j0
+    x0[Dp] = x_of_j0[Dp - 1]
 
     tp_scalar = np.asarray(winp.tp_scalar)
     if tp_scalar.size == 0:  # zero-width blocks are not a thing; pad one 0
@@ -302,21 +309,31 @@ def make_window_pallas_problem(sm, wband: WindowBand, *, ragged_left=True,
         start=jnp.asarray(_san(winp.start)),
         end=jnp.asarray(_san(winp.end)),
         tp_scalar=jnp.asarray(_san(tp_scalar)),
+        x0=jnp.asarray(x0),
     )
     return plan, prob
 
 
 def run_window_pallas(plan: fb.EnginePlan, W: int, batch: WindowPallasProblem,
                       Bt: int | None = None, stages: int = 3,
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      wgroups: tuple[tuple[int, ...], ...] | None = None):
     """Forward -> fused backward on a stacked WindowPallasProblem batch.
-    Returns (p (B, Dp, W) posterior match probs, totals (B, Dp))."""
+    Returns (p (B, Dp, W) posterior match probs, totals (B, Dp)) for
+    stages <= 3; with stages=4 additionally (exits (B, Dp, G), gacc
+    (B, G, W), stats (B, 128)) — the generic EM tallies, with ``wgroups``
+    selecting the per-x windowed posterior groups (see
+    ops/pallas_fb.backward_sm3)."""
     F = pk.forward_sm3(plan, batch.E, batch.diag_scalars, batch.d_last,
                        batch.start, batch.tp_scalar, Bt=Bt, kd=pk.KD,
                        interpret=interpret)
-    p, totals, _exits, _gacc, _stats = pk.backward_sm3(
+    p, totals, exits, gacc, stats = pk.backward_sm3(
         plan, batch.E, F, batch.diag_scalars, batch.d_last, batch.end,
-        batch.tp_scalar, Bt=Bt, kd=pk.KD, stages=stages, interpret=interpret)
+        batch.tp_scalar, Bt=Bt, kd=pk.KD, stages=stages, interpret=interpret,
+        wgroups=wgroups)
+    if stages >= 4:
+        return (p[:, :, 0, :], totals[:, :, 0, 0], exits[:, :, 0, :],
+                gacc, stats[:, 0, :])
     return p[:, :, 0, :], totals[:, :, 0, 0]
 
 

@@ -347,6 +347,10 @@ def make_signal_sm3(pore: PoreModel, target_seq: str, events: np.ndarray,
                       start, ragged_start, end, ragged_end, emissions)
     sm.kmer_ranks = ranks  # exposed for EM per-kmer tallies
     sm.event_means = events[:, 0]
+    # ingredients for the Pallas SM3 parameter-pack path (engine/batch_align
+    # routes threeState jobs through make_sm3_pallas_problem, avoiding the
+    # host-built (Dp, C, W) emission grid of the generic window path)
+    sm.sm3_pack = (pore, target_seq, events, transitions, kmer_gap_probs)
     return sm
 
 
@@ -451,6 +455,35 @@ VANILLA_END_FROM_X = -1.6269694202638481
 VANILLA_END_FROM_Y = -4.3187242127300092
 
 
+def vanilla_transition_tables(bins: np.ndarray, strand: str):
+    """Per-skip-bin log transition tables for the vanilla machine's five
+    per-cell keys, plus its two scalar values (stateMachine3Vanilla's
+    kmer-dependent transitions, stateMachine.c:1368-1409).  ``bins`` holds
+    beta = bins[0:30] (M->X skip prob per bin) and alpha = bins[30:60]
+    (X->X extend prob).  Tables have N_SKIP_BINS + 1 entries — the last is a
+    0.0 sentinel the Pallas EM path gathers for padded/out-of-band cells."""
+    from ..constants import N_SKIP_BINS
+
+    sd = VANILLA_STRAND_DEFAULTS[strand]
+    m_to_y_not_x = float(sd["m_to_y_not_x"])
+    e_to_e = float(sd["e_to_e"])
+    beta = np.asarray(bins[:N_SKIP_BINS], dtype=np.float64)
+    alpha = np.asarray(bins[N_SKIP_BINS:2 * N_SKIP_BINS], dtype=np.float64)
+    with np.errstate(divide="ignore"):
+        a_my = (1.0 - beta) * m_to_y_not_x
+        tabs = {
+            "la_mx": np.log(beta),
+            "la_xx": np.log(alpha),
+            "la_my": np.log(a_my),
+            "la_mm": np.log(1.0 - a_my - beta),
+            "la_xm": np.log(1.0 - alpha),
+        }
+        scalars = {"la_yy": float(np.log(e_to_e)),
+                   "la_ym": float(np.log(1.0 - e_to_e))}
+    tabs = {k: np.concatenate([v, [0.0]]) for k, v in tabs.items()}
+    return tabs, scalars
+
+
 def make_signal_vanilla(pore: PoreModel, target_seq: str, events: np.ndarray,
                         strand: str = "template",
                         skip_bins: np.ndarray | None = None) -> StateMachine:
@@ -460,24 +493,17 @@ def make_signal_vanilla(pore: PoreModel, target_seq: str, events: np.ndarray,
     skip_bins overrides the pore model's (EM-trained VanillaHmm bins).
     """
     bins = pore.skip_bins if skip_bins is None else skip_bins
-    sd = VANILLA_STRAND_DEFAULTS[strand]
-    m_to_y_not_x = float(sd["m_to_y_not_x"])
-    e_to_e = float(sd["e_to_e"])
 
     km1, ki = kmerlib.trailing_pair_ranks(target_seq)
     bin_idx = skip_bin_indices(km1, ki, pore.match_model)
-    beta = bins[bin_idx]          # a_mx per position (NOT log space in tables)
-    alpha = bins[bin_idx + 30]    # a_xx per position
-
-    with np.errstate(divide="ignore"):
-        la_mx = np.log(beta)
-        la_xx = np.log(alpha)
-        a_my = (1.0 - beta) * m_to_y_not_x
-        la_my = np.log(a_my)
-        la_mm = np.log(1.0 - a_my - beta)
-        la_xm = np.log(1.0 - alpha)
-        la_yy = float(np.log(e_to_e))
-        la_ym = float(np.log(1.0 - e_to_e))
+    tabs, scalars = vanilla_transition_tables(bins, strand)
+    la_mx = tabs["la_mx"][bin_idx]
+    la_xx = tabs["la_xx"][bin_idx]
+    la_my = tabs["la_my"][bin_idx]
+    la_mm = tabs["la_mm"][bin_idx]
+    la_xm = tabs["la_xm"][bin_idx]
+    la_yy = scalars["la_yy"]
+    la_ym = scalars["la_ym"]
 
     ranks = kmerlib.ranks_with_convention(target_seq, "trail")
     ev = np.concatenate([np.zeros((1, events.shape[1])), events], axis=0)

@@ -363,7 +363,7 @@ def _lse_rows(v):
     return jnp.where(m <= NEG_INF, NEG_INF, out)
 
 
-def _backward_kernel(plan, Bt, W, Dp, kd, stages,
+def _backward_kernel(plan, Bt, W, Dp, kd, stages, wgroups,
                      Eb0_ref, Eb1_ref, Fp0_ref, Fp1_ref,
                      dsb0_ref, dsb1_ref, dlast_ref, end_ref, tps_ref,
                      p_ref, tot_ref, exit_ref, gacc_ref, stats_ref,
@@ -481,6 +481,7 @@ def _backward_kernel(plan, Bt, W, Dp, kd, stages,
         # emitted to exit_ref[d] (its x is x0[d] + W - 1) — this keeps the
         # per-kmer scatter outside the kernel at O(B * (Dp + W)) instead of
         # O(B * Dp * W) ---
+        G = len(wgroups)
         if stages >= 4:
             sfL = col(DS_FL)
             sfM = col(DS_FM)
@@ -490,26 +491,30 @@ def _backward_kernel(plan, Bt, W, Dp, kd, stages,
             srcs = (srcL, srcM, srcU)
             em_ok = (valid[:, 0, :]) & (d >= 1)
             add = jnp.zeros((Bt, 128), jnp.float32)
-            pgx = jnp.zeros((Bt, W), jnp.float32)
+            pg = [jnp.zeros((Bt, W), jnp.float32) for _g in range(G)]
             for ei, e in enumerate(plan.edges):
                 logp = (srcs[e.src][:, e.frm, :] + cur[:, e.to, :]
                         + _esum(plan, E_d, e) + tp_of(e) - total)
                 pe = jnp.where(em_ok, jnp.exp(jnp.minimum(logp, 0.0)), 0.0)
                 pe_sum = jnp.sum(pe, axis=1, keepdims=True)   # (Bt, 1)
                 add = add + jnp.where(stats_lane == ei, pe_sum, 0.0)
-                if e.to == SHORT_GAP_X:
-                    pgx = pgx + pe
+                for g, members in enumerate(wgroups):
+                    if ei in members:
+                        pg[g] = pg[g] + pe
             lik_d = jnp.where((d >= 1) & (d <= dlast[:, :, 0]), total, 0.0)
             add = add + jnp.where(stats_lane == LIK_LANE, lik_d, 0.0)
             stats_acc[...] += add
-            acc = gacc[...] + pgx
             s = ds[:, DS_XS:DS_XS + 1]                      # (Bt, 1) in {0,1}
-            exit_ref[:, j0, 0, :] = jnp.where(s == 1, acc[:, W - 1:W], 0.0)
-            shifted = _shift(acc[:, None, :], -s.reshape(Bt, 1, 1),
-                             fill=0.0)[:, 0, :]
-            gacc[...] = jnp.where(s == 1, shifted, acc)
+            exits = []
+            for g in range(G):
+                gnew = gacc[g] + pg[g]
+                exits.append(jnp.where(s == 1, gnew[:, W - 1:W], 0.0))
+                shifted = _shift(gnew[:, None, :], -s.reshape(Bt, 1, 1),
+                                 fill=0.0)[:, 0, :]
+                gacc[g] = jnp.where(s == 1, shifted, gnew)
+            exit_ref[:, j0, 0, :] = jnp.concatenate(exits, axis=1)
         else:
-            exit_ref[:, j0, 0, :] = jnp.zeros((Bt, 1), jnp.float32)
+            exit_ref[:, j0, 0, :] = jnp.zeros((Bt, G), jnp.float32)
 
         # rotate carries
         b2[:] = b1[:]
@@ -519,28 +524,38 @@ def _backward_kernel(plan, Bt, W, Dp, kd, stages,
     @pl.when(tb == nb_d - 1)
     def _():
         stats_ref[:, 0, :] = stats_acc[...]
-        gacc_ref[:, 0, :] = gacc[...]
+        for g in range(len(wgroups)):
+            gacc_ref[:, g, :] = gacc[g]
 
 
 def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
                  tp_scalar, Bt: int | None = None, kd: int = 8,
-                 stages: int = 4, interpret: bool = False):
+                 stages: int = 4, interpret: bool = False,
+                 wgroups: tuple[tuple[int, ...], ...] | None = None):
     """Fused backward pass over kd-diagonal blocks.  ``Fpad`` is the forward
     kernel's output (B, Dp + kd, S, W) with a kd-row NEG_INF halo in front;
     E must have >= Dp + kd rows with rows >= Dp zero.  Returns
-    (p (B,Dp,1,W), totals (B,Dp,1,1), exits (B,Dp,1,1), gacc (B,1,W),
+    (p (B,Dp,1,W), totals (B,Dp,1,1), exits (B,Dp,1,G), gacc (B,G,W),
     stats (B,1,128): lane e = edge-e transition tally, lane LIK_LANE =
-    likelihood).  exits[d] carries the gapX-entry posterior mass for
-    x = x0[d] + W - 1 where DS_XS[d] == 1 (else 0); gacc lane j carries the
-    remaining mass for x = x0[0] + j.  ``stages`` gates debug subsets
-    (1 = bare recursion, 2 = +totals, 3 = +posteriors, 4 = +EM tallies)."""
+    likelihood).  ``wgroups`` selects G groups of edge indices whose
+    posteriors accumulate in per-x window-tracking tallies (default: one
+    group, edges entering shortGapX — the SM3 per-kmer gapX scatter; the
+    vanilla E-step passes (M->X,), (X->X,) for its beta/alpha bins):
+    exits[d, g] carries group g's posterior mass for x = x0[d] + W - 1 where
+    DS_XS[d] == 1 (else 0); gacc[g] lane j the remaining mass for
+    x = x0[0] + j.  ``stages`` gates debug subsets (1 = bare recursion,
+    2 = +totals, 3 = +posteriors, 4 = +EM tallies)."""
     Bn, _De, C, W = E.shape
     Dp = diag_scalars.shape[1] - 1
     S = plan.n_states
     assert Dp % kd == 0, (Dp, kd)
     assert _De >= Dp + kd and Fpad.shape[1] == Dp + kd
+    if wgroups is None:
+        wgroups = (tuple(ei for ei, e in enumerate(plan.edges)
+                         if e.to == SHORT_GAP_X),)
+    G = len(wgroups)
     nb_d = Dp // kd
-    Bt = _pick_bt(Bn, W, Bt, kd, rows=C + 3 * S + 2)
+    Bt = _pick_bt(Bn, W, Bt, kd, rows=C + 3 * S + 2 + (G - 1))
     nb = Bn // Bt
 
     def eblk(off):
@@ -567,8 +582,8 @@ def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
     out_specs = (
         pl.BlockSpec((Bt, kd, 1, W), eblk(0), memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, kd, 1, 1), eblk(0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, kd, 1, 1), eblk(0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, 1, W), lambda b, t: (b, 0, 0),
+        pl.BlockSpec((Bt, kd, 1, G), eblk(0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, G, W), lambda b, t: (b, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, 1, 128), lambda b, t: (b, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -576,12 +591,12 @@ def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
     out_shape = (
         jax.ShapeDtypeStruct((Bn, Dp, 1, W), jnp.float32),
         jax.ShapeDtypeStruct((Bn, Dp, 1, 1), jnp.float32),
-        jax.ShapeDtypeStruct((Bn, Dp, 1, 1), jnp.float32),
-        jax.ShapeDtypeStruct((Bn, 1, W), jnp.float32),
+        jax.ShapeDtypeStruct((Bn, Dp, 1, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bn, G, W), jnp.float32),
         jax.ShapeDtypeStruct((Bn, 1, 128), jnp.float32),
     )
     return pl.pallas_call(
-        partial(_backward_kernel, plan, Bt, W, Dp, kd, stages),
+        partial(_backward_kernel, plan, Bt, W, Dp, kd, stages, wgroups),
         grid=(nb, nb_d),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -589,7 +604,7 @@ def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
         scratch_shapes=[pltpu.VMEM((Bt, S, W), jnp.float32),
                         pltpu.VMEM((Bt, S, W), jnp.float32),
                         pltpu.VMEM((Bt, 128), jnp.float32),
-                        pltpu.VMEM((Bt, W), jnp.float32)],
+                        pltpu.VMEM((G, Bt, W), jnp.float32)],
         interpret=interpret,
     )(E, E, Fpad, Fpad, ds, ds,
       d_last.reshape(Bn, 1), end, tp_scalar)

@@ -16,5 +16,11 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# CPECAN_TEST_TPU=1 leaves the real backend attached so tests/test_tpu_device.py
+# can compile on the chip (that module self-skips on CPU); everything else
+# runs on the virtual CPU mesh.  x64 stays off in the TPU run — the Pallas
+# path is f32 and x64 + the axon platform trips a RecursionError in
+# jnp.astype on this toolchain.
+if not os.environ.get("CPECAN_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)

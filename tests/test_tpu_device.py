@@ -1,0 +1,168 @@
+"""On-device (compiled) Pallas regression tests — run only when a real TPU
+is attached: `CPECAN_TEST_TPU=1 pytest tests/test_tpu_device.py` (the
+default conftest forces the CPU platform; this module self-skips there).
+
+VERDICT r2 item 3: every kernel test was interpret-mode on CPU; the real
+chip breakages in rounds 1-2 (SMEM overflow, Mosaic layouts, VMEM compile
+limits) were found by bench.py, not tests.  Interpret mode is unusable as
+an in-process reference here (eager dispatch over the axon tunnel), so
+these tests check the reference's own engine invariants on-chip plus
+cross-block-configuration equality:
+
+  * per-diagonal total probability is flat across each problem's valid
+    diagonals (the reference asserts the same during traceback,
+    pairwiseAligner.c:956-966);
+  * different (Bt, kd) block configurations produce identical outputs —
+    block-boundary/halo bugs break this immediately;
+  * ideal synthetic reads (events at exact model levels) decode to
+    on-diagonal posteriors ~1;
+  * the stats likelihood lane equals the sum of valid per-diagonal totals.
+
+Each pallas_call variant costs a remote compile (~20-40s cold) over the
+tunnel; the jax compilation cache makes re-runs cheap.
+"""
+
+import numpy as np
+import pytest
+
+from cpecan_signal_tpu.engine import pallas_pipeline as pp
+
+from test_pallas_kernels import _synthetic_problem_set
+
+
+def _tpu_available():
+    import jax
+
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(not _tpu_available(),
+                                reason="no TPU attached (CPU-only run)")
+
+
+def _valid_tot(tot_row, d_last):
+    d = np.arange(1, int(d_last))  # interior diagonals
+    return tot_row[d]
+
+
+@pytest.mark.parametrize("n_problems,n_bases,cfgs", [
+    (8, 56, ((None, 8), (8, 8))),       # W=128; auto vs minimal Bt
+    (8, 150, ((None, 8), (8, 4))),      # W=256; kd variation
+    (24, 56, ((24, 8), (8, 8))),        # wide block (production zone)
+])
+def test_compiled_block_configs_agree(n_problems, n_bases, cfgs):
+    import jax
+
+    plan, W, batch, _sms, _wbs = _synthetic_problem_set(
+        n_problems=n_problems, n_bases=n_bases, seed=n_problems + n_bases)
+    outs = []
+    for Bt, kd in cfgs:
+        fn = jax.jit(lambda b, Bt=Bt, kd=kd: pp.run_sm3_pallas(
+            plan, W, b, Bt=Bt))
+        outs.append([np.asarray(o) for o in fn(batch)])
+    for name, a, b in zip(("p", "tot", "exits", "gacc", "stats"),
+                          outs[0], outs[1]):
+        live = np.isfinite(a) & np.isfinite(b) & (np.abs(b) < 1e29)
+        assert live.any(), name
+        np.testing.assert_allclose(a[live], b[live], rtol=1e-6, atol=1e-6,
+                                   err_msg=name)
+
+    # engine invariants on config 0
+    p, tot, _exits, _gacc, stats = outs[0]
+    d_last = np.asarray(batch.d_last)
+    assert (p >= 0).all() and (p <= 1 + 1e-6).all()
+    for i in range(p.shape[0]):
+        tv = _valid_tot(tot[i], d_last[i])
+        # flat within the reference's in-engine tolerance band
+        assert np.abs(tv - np.median(tv)).max() < 1.0, i
+        # likelihood lane == sum of valid totals (d in [1, d_last])
+        lik = stats[i, 64]
+        expect = tot[i, 1:int(d_last[i]) + 1].sum()
+        assert abs(lik - expect) < 1e-3 * max(abs(expect), 1.0), i
+    # ideal reads decode on-diagonal with high posterior
+    per_prob_mass = p.max(axis=2)  # (B, Dp) best posterior per diagonal
+    for i in range(p.shape[0]):
+        interior = per_prob_mass[i, 2:int(d_last[i]) - 1]
+        assert np.median(interior) > 0.85, i
+
+
+def test_compiled_generic_vanilla_invariants():
+    """Compiled generic (per-cell-transition) kernels: vanilla machine on
+    ideal reads — cross-Bt equality + flat totals."""
+    import jax
+
+    from cpecan_signal_tpu.constants import MODEL_PARAMS, NUM_OF_KMERS
+    from cpecan_signal_tpu.core.band import band_construct
+    from cpecan_signal_tpu.core.kmers import sequence_kmer_ranks
+    from cpecan_signal_tpu.core.window import smooth_band
+    from cpecan_signal_tpu.models.pore_model import PoreModel
+    from cpecan_signal_tpu.models.state_machines import make_signal_vanilla
+
+    rng = np.random.default_rng(5)
+    match = np.zeros((NUM_OF_KMERS + 2, MODEL_PARAMS))
+    match[:NUM_OF_KMERS, 0] = rng.uniform(40, 90, NUM_OF_KMERS)
+    match[:NUM_OF_KMERS, 1] = 1.0
+    match[:NUM_OF_KMERS, 2] = rng.uniform(1, 3, NUM_OF_KMERS)
+    match[:NUM_OF_KMERS, 3] = 0.3
+    match[:NUM_OF_KMERS, 4] = 5.0
+    pore = PoreModel(0.9, match, 0.9, match.copy(), np.full(60, 1 / 30))
+
+    probs = []
+    plan = None
+    raw = []
+    Dmax = 0
+    for _i in range(8):
+        target = "".join(rng.choice(list("ACGT"), 60))
+        ranks = sequence_kmer_ranks(target)
+        events = np.stack([match[ranks, 0] + rng.normal(0, 0.3, len(ranks)),
+                           np.full(len(ranks), 2.0),
+                           np.full(len(ranks), 0.01)], axis=1)
+        band = band_construct([], len(ranks), len(events), 4)
+        wb = smooth_band(band, width_multiple=128)
+        raw.append((make_signal_vanilla(pore, target, events), wb))
+        Dmax = max(Dmax, wb.n_diagonals)
+    for sm, wb in raw:
+        plan, prob = pp.make_window_pallas_problem(sm, wb, pad_d=Dmax + 2)
+        probs.append(prob)
+    W = raw[0][1].W
+    batch = pp.stack_problems(probs)
+    outs = []
+    for Bt in (None, 8):
+        fn = jax.jit(lambda b, Bt=Bt: pp.run_window_pallas(plan, W, b, Bt=Bt))
+        outs.append([np.asarray(o) for o in fn(batch)])
+    for a, b in zip(*outs):
+        live = np.isfinite(a) & np.isfinite(b) & (np.abs(b) < 1e29)
+        np.testing.assert_allclose(a[live], b[live], rtol=1e-6, atol=1e-6)
+    p, tot = outs[0]
+    d_last = np.asarray(batch.d_last)
+    assert (p >= 0).all() and (p <= 1 + 1e-6).all()
+    for i in range(p.shape[0]):
+        tv = _valid_tot(tot[i], d_last[i])
+        assert np.abs(tv - np.median(tv)).max() < 1.0, i
+
+
+def test_compiled_em_step_consistency():
+    """Compiled stages=4 E-step: cross-Bt equality of (trans, kmer_gap,
+    likelihood) + conservation (each interior diagonal's edge posteriors
+    sum to ~1 per problem, so total transition mass ~ sum of interior
+    diagonal counts)."""
+    import jax
+
+    plan, W, batch, _sms, _wbs = _synthetic_problem_set(n_problems=8, seed=11)
+    outs = []
+    for Bt in (None, 8):
+        fn = jax.jit(lambda b, Bt=Bt: pp.sm3_pallas_expectations(
+            plan, W, b, Bt=Bt))
+        outs.append([np.asarray(o) for o in fn(batch)])
+    for a, b in zip(*outs):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+    trans, kmer_gap, lik = outs[0]
+    assert (trans >= -1e-6).all() and (kmer_gap >= -1e-6).all()
+    d_last = np.asarray(batch.d_last)
+    n_interior = int((d_last - 1).sum())  # diagonals d in [1, d_last]
+    total_mass = trans.sum()
+    assert abs(total_mass - n_interior) < 0.05 * n_interior
+    assert np.isfinite(lik) and lik < 0
