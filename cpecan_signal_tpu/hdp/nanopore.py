@@ -223,10 +223,17 @@ class NanoporeHDP:
         return table
 
     def density_logp_fn(self):
-        """Vectorized log-density function for make_signal_sm3_hdp: linear
-        interpolation over the finalized grid table (density values are
-        clamped >= 0 as in dir_proc_density, hdp.c:2577-2601; log of 0 is
-        LOG_ZERO)."""
+        """Vectorized density function for make_signal_sm3_hdp: linear
+        interpolation over the finalized grid table, clamped >= 0 as in
+        dir_proc_density (hdp.c:2577-2601).
+
+        NOTE reference parity: the returned value is the RAW density, not
+        its log — stateMachine3HDP_cellCalculate adds
+        `eP = getMatchProbFcn(...)` (the density itself) straight into the
+        log-space recursion (stateMachine.c:1353-1362), so a zero density
+        contributes eP = 0.0, not -inf.  The name is kept for the
+        make_signal_sm3_hdp call-site contract ("the emission channel
+        value")."""
         table = self.density_table()
         grid = self.hdp.grid
 
@@ -238,8 +245,7 @@ class NanoporeHDP:
             t = pos - i0
             v = (1 - t) * table[ranks, i0] + t * table[ranks, np.minimum(i0 + 1,
                                                                          len(grid) - 1)]
-            with np.errstate(divide="ignore"):
-                return np.where(v > 0, np.log(np.maximum(v, 1e-300)), LOG_ZERO)
+            return np.maximum(v, 0.0)
 
         return density_logp
 

@@ -543,12 +543,16 @@ def make_signal_vanilla(pore: PoreModel, target_seq: str, events: np.ndarray,
 def make_signal_sm3_hdp(density_logp: Callable[[np.ndarray, np.ndarray], np.ndarray],
                         target_seq: str, events: np.ndarray,
                         transitions: dict[str, float] | None = None) -> StateMachine:
-    """threeStateHdp machine: match/gapY emission = HDP posterior-predictive
-    log-density of (kmer, descaled event mean); gapX emission = log(0.1)
-    (stateMachine3HDP_cellCalculate, stateMachine.c:1336-1366).
+    """threeStateHdp machine: match/gapY emission channel = the HDP
+    posterior-predictive density of (kmer, descaled event mean); gapX
+    emission = log(0.1) (stateMachine3HDP_cellCalculate,
+    stateMachine.c:1336-1366).
 
-    density_logp(ranks, means) -> log densities (LOG_ZERO where density <= 0).
-    Uses the clamped k-mer convention (sequence_getKmer3).
+    density_logp(ranks, means) must return the value the reference adds as
+    eP — which is the RAW density, not its log (stateMachine.c:1353-1362
+    adds `getMatchProbFcn(...)` = dir_proc_density straight into the
+    log-space recursion; zero density contributes 0.0).  Uses the clamped
+    k-mer convention (sequence_getKmer3).
     """
     t = dict(SM3_NANOPORE_TRANSITIONS)
     if transitions:
@@ -649,13 +653,16 @@ def make_signal_echelon(pore: PoreModel, target_seq: str, events: np.ndarray,
     codes = kmerlib.base_codes(padded)
 
     def ranks_at_offset(off: int) -> np.ndarray:
-        # DP slot j <-> x_idx = j - 1; pointer p = max(x_idx - 1, 0) -> wait:
-        # getKmer2 pointer = elements[i - 1] for i > 0 else elements[0]
+        # DP slot j <-> x_idx = j - 1; getKmer2 pointer = elements[i - 1]
+        # for i > 0 else elements[0]; multipleKmerMatchProb passes
+        # x_i = pointer + off and getEventMatchProbWithTwoDists reads the
+        # kmer at x_i + 1 (stateMachine.c:499-512), so the k-mer for offset
+        # off starts at pointer + off + 1.
         out = np.full(lX + 1, KMER_SENTINEL, dtype=np.int32)
         for j in range(lX + 1):
             i = j - 1
             p = i - 1 if i > 0 else 0
-            idx = p + off
+            idx = p + off + 1
             if 0 <= idx < len(base_padded):
                 out[j] = base_padded[idx]
         return out
@@ -680,11 +687,15 @@ def make_signal_echelon(pore: PoreModel, target_seq: str, events: np.ndarray,
         noises = ev[y_idx + 1, 1]
         shape = np.broadcast(x_idx, y_idx).shape
         e = np.zeros(shape + (7,), dtype=np.float64)
-        # classes 1..5: logAdd of the n single-kmer two-dist probs - log n
+        # classes 1..5: logAdd of the n single-kmer two-dist probs - log n.
+        # The reference seeds its logAdd chain with p = 0.0 — log-space 1.0,
+        # NOT LOG_ZERO (emissions_signal_multipleKmerMatchProb,
+        # stateMachine.c:532) — so every multi-kmer emission carries a
+        # spurious +1 term that dominates the sum; reproduced for parity.
         per_off = np.stack([
             _two_dist_mixed_logp(match_table, rank_off[o][j], means, noises)
             for o in range(5)])
-        running = np.full(shape, LOG_ZERO)
+        running = np.zeros(shape)
         for n in range(1, 6):
             running = np.logaddexp(running, per_off[n - 1])
             e[..., n] = np.where(ok_n[n][j], running - np.log(n), LOG_ZERO)

@@ -34,6 +34,7 @@
 #include "pairwiseAligner.h"
 #include "stateMachine.h"
 #include "continuousHmm.h"
+#include "nanopore_hdp.h"
 #include "sonLib.h"
 
 static char *readLine(const char *path) {
@@ -76,6 +77,33 @@ static stList *readAnchors(const char *path) {
 }
 
 int main(int argc, char **argv) {
+    if (argc >= 2 && strcmp(argv[1], "dumpdens") == 0) {
+        /* dumpdens nhdp kmers.txt means.txt out.tsv — evaluate the
+         * serialized NanoporeHDP's posterior-predictive density (spline,
+         * dir_proc_density) at each (kmer, mean) pair so the Python side
+         * can align with byte-identical HDP emissions (engine parity
+         * isolated from density-table reconstruction). */
+        if (argc != 6) { fprintf(stderr, "usage: %s dumpdens nhdp kmers means out\n", argv[0]); return 2; }
+        NanoporeHDP *nHdp = deserialize_nhdp(argv[2]);
+        FILE *kf = fopen(argv[3], "r");
+        FILE *mf = fopen(argv[4], "r");
+        FILE *out = fopen(argv[5], "w");
+        if (kf == NULL || mf == NULL || out == NULL) { fprintf(stderr, "driver: bad dumpdens files\n"); return 1; }
+        double *means = st_malloc(sizeof(double) << 20);
+        int64_t nMeans = 0;
+        while (fscanf(mf, "%lf", &means[nMeans]) == 1) nMeans++;
+        char kmer[64];
+        while (fscanf(kf, "%63s", kmer) == 1) {
+            fprintf(out, "%s", kmer);
+            for (int64_t i = 0; i < nMeans; i++) {
+                fprintf(out, "\t%.17g",
+                        get_nanopore_kmer_density(nHdp, kmer, &means[i]));
+            }
+            fprintf(out, "\n");
+        }
+        fclose(kf); fclose(mf); fclose(out);
+        return 0;
+    }
     if (argc < 13) {
         fprintf(stderr, "usage: %s align|expect target events anchors model "
                         "scale shift var scale_sd var_sd raggedL raggedR out "
@@ -97,19 +125,83 @@ int main(int argc, char **argv) {
     if (argc > 14) p->threshold = atof(argv[14]);
     if (argc > 15) p->diagonalExpansion = atoll(argv[15]);
     if (argc > 16) p->minDiagsBetweenTraceBack = atoll(argv[16]);
+    /* machine selection (VERDICT r3: parity beyond threeState).  argv[17] =
+     * threeState (default) | vanilla | echelon | sm3Hdp | fiveState;
+     * argv[18] = strand for vanilla ("template"/"complement"); argv[19] =
+     * serialized NanoporeHDP for sm3Hdp.  fiveState is a nucleotide
+     * machine: the events file is read as a second sequence line and
+     * events are per-base symbols (cPecanRealign.c:523-529 defaults). */
+    const char *machine = argc > 17 ? argv[17] : "threeState";
+    const char *strandName = argc > 18 ? argv[18] : "template";
+    const char *auxFile = argc > 19 ? argv[19] : NULL;
 
-    StateMachine *sM = getStrawManStateMachine3(modelFile);
-    emissions_signal_scaleModel(sM, scale, shift, var, scale_sd, var_sd);
+    StateMachine *sM;
+    void *(*xGet)(void *, int64_t) = sequence_getKmer;
+    void (*postFcn)(StateMachine *, int64_t, DpMatrix *, DpMatrix *, Sequence *,
+                    Sequence *, double, PairwiseAlignmentParameters *, void *) =
+        diagonalCalculationPosteriorMatchProbs;
+    int isNucleotide = 0;
+    if (strcmp(machine, "threeState") == 0) {
+        sM = getStrawManStateMachine3(modelFile);
+        emissions_signal_scaleModel(sM, scale, shift, var, scale_sd, var_sd);
+    } else if (strcmp(machine, "vanilla") == 0) {
+        sM = getSignalStateMachine3Vanilla(modelFile);
+        emissions_signal_scaleModel(sM, scale, shift, var, scale_sd, var_sd);
+        stateMachine3Vanilla_setStrandTransitionsToDefaults(
+            sM, strcmp(strandName, "complement") == 0 ? complement : template);
+        xGet = sequence_getKmer2;
+    } else if (strcmp(machine, "echelon") == 0) {
+        sM = getStateMachineEchelon(modelFile);
+        emissions_signal_scaleModel(sM, scale, shift, var, scale_sd, var_sd);
+        xGet = sequence_getKmer2;
+        postFcn = diagonalCalculationMultiPosteriorMatchProbs;
+    } else if (strcmp(machine, "sm3Hdp") == 0) {
+        if (auxFile == NULL) { fprintf(stderr, "driver: sm3Hdp needs nhdp\n"); return 2; }
+        NanoporeHDP *nHdp = deserialize_nhdp(auxFile);
+        sM = getHdpStateMachine3(nHdp);   /* no scaling: HDP densities are
+                                           * over descaled means (buildStateMachine,
+                                           * vanillaAlign.c:132-135) */
+        xGet = sequence_getKmer3;
+    } else if (strcmp(machine, "fiveState") == 0) {
+        sM = stateMachine5_construct(fiveState, SYMBOL_NUMBER_NO_N,
+                                     emissions_symbol_setEmissionsToDefaults,
+                                     emissions_symbol_getGapProb,
+                                     emissions_symbol_getGapProb,
+                                     emissions_symbol_getMatchProb,
+                                     cell_updateExpectations);
+        isNucleotide = 1;
+    } else {
+        fprintf(stderr, "driver: unknown machine %s\n", machine);
+        return 2;
+    }
 
-    int64_t lX = sequence_correctSeqLength(strlen(target), event);
-    Sequence *SsX = sequence_construct2(lX, target, sequence_getKmer,
-                                        sequence_sliceNucleotideSequence2);
-    Sequence *SsY = sequence_construct2(nEvents, events, sequence_getEvent,
-                                        sequence_sliceEventSequence2);
+    int64_t lX, lY;
+    Sequence *SsX, *SsY;
+    if (isNucleotide) {
+        /* events file carries the second nucleotide sequence */
+        char *seq2 = readLine(argv[3]);
+        lX = strlen(target);
+        lY = strlen(seq2);
+        SsX = sequence_construct2(lX, target, sequence_getBase,
+                                  sequence_sliceNucleotideSequence2);
+        SsY = sequence_construct2(lY, seq2, sequence_getBase,
+                                  sequence_sliceNucleotideSequence2);
+    } else {
+        lX = sequence_correctSeqLength(strlen(target), event);
+        lY = nEvents;
+        SsX = sequence_construct2(lX, target, xGet,
+                                  sequence_sliceNucleotideSequence2);
+        SsY = sequence_construct2(nEvents, events, sequence_getEvent,
+                                  sequence_sliceEventSequence2);
+        if (strcmp(machine, "echelon") == 0) {
+            sequence_padSequence(SsX);   /* performSignalAlignmentP,
+                                          * vanillaAlign.c:197-199 */
+        }
+    }
 
     if (strcmp(mode, "align") == 0) {
         stList *pairs = getAlignedPairsUsingAnchors(sM, SsX, SsY, anchors, p,
-                                                    diagonalCalculationPosteriorMatchProbs,
+                                                    postFcn,
                                                     raggedL, raggedR);
         FILE *out = fopen(outFile, "w");
         for (int64_t i = 0; i < stList_length(pairs); i++) {
@@ -141,11 +233,19 @@ int main(int argc, char **argv) {
                dt / reps, (long long) nEvents);
         (void) outFile;
     } else if (strcmp(mode, "expect") == 0) {
-        Hmm *hmm = hmmContinuous_getEmptyHmm(threeState, 0.0001, p->threshold);
+        /* expectation accumulator type follows the machine
+         * (getSignalExpectations, vanillaAlign.c:318-360) */
+        StateMachineType hmmType = threeState;
+        if (strcmp(machine, "vanilla") == 0) hmmType = vanilla;
+        if (strcmp(machine, "sm3Hdp") == 0) hmmType = threeStateHdp;
+        Hmm *hmm = hmmContinuous_getEmptyHmm(hmmType, 0.0001, p->threshold);
+        if (hmmType == vanilla) {
+            vanillaHmm_implantMatchModelsintoHmm(sM, hmm);
+        }
         getExpectationsUsingAnchors(sM, hmm, SsX, SsY, anchors, p,
                                     diagonalCalculation_Expectations,
                                     raggedL, raggedR);
-        hmmContinuous_writeToFile(outFile, hmm, threeState);
+        hmmContinuous_writeToFile(outFile, hmm, hmmType);
         fprintf(stderr, "driver: likelihood %.9f\n", hmm->likelihood);
     } else {
         fprintf(stderr, "driver: unknown mode %s\n", mode);

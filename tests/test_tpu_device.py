@@ -82,11 +82,13 @@ def test_compiled_block_configs_agree(n_problems, n_bases, cfgs):
         lik = stats[i, 64]
         expect = tot[i, 1:int(d_last[i]) + 1].sum()
         assert abs(lik - expect) < 1e-3 * max(abs(expect), 1.0), i
-    # ideal reads decode on-diagonal with high posterior
+    # ideal reads decode on-diagonal with high posterior.  A match step
+    # advances x+y by 2, so confident matches land on alternating
+    # diagonals — check the fraction, not the median.
     per_prob_mass = p.max(axis=2)  # (B, Dp) best posterior per diagonal
     for i in range(p.shape[0]):
         interior = per_prob_mass[i, 2:int(d_last[i]) - 1]
-        assert np.median(interior) > 0.85, i
+        assert (interior > 0.85).mean() > 0.35, i
 
 
 def test_compiled_generic_vanilla_invariants():
@@ -164,5 +166,8 @@ def test_compiled_em_step_consistency():
     d_last = np.asarray(batch.d_last)
     n_interior = int((d_last - 1).sum())  # diagonals d in [1, d_last]
     total_mass = trans.sum()
-    assert abs(total_mass - n_interior) < 0.05 * n_interior
+    # total transition mass ~ expected path edges: between ~half the
+    # diagonal count (all-match paths cross 2 diagonals per edge) and the
+    # diagonal count (all-gap paths)
+    assert 0.35 * n_interior < total_mass < 1.05 * n_interior
     assert np.isfinite(lik) and lik < 0
