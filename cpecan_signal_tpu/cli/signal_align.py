@@ -241,14 +241,37 @@ def main(argv=None):
                        + glob.glob(os.path.join(args.file_directory, "*.npRead")))
     else:
         paths = sorted(glob.glob(args.file_directory))
-    random.shuffle(paths)  # signalAlign.py:92 shuffles before capping
+
+    # multi-host launch: SIGALIGN_COORDINATOR brings up jax.distributed and
+    # each host aligns its own slice of the (deterministically shuffled)
+    # read list, writing a per-host part file merged by process 0 (the
+    # multi-host form of the reference's worker queue,
+    # scripts/signalAlign.py:103-146)
+    dist_run = os.environ.get("SIGALIGN_COORDINATOR") is not None
+    if dist_run:
+        from ..parallel import distributed
+        if not distributed.is_initialized():
+            distributed.initialize()
+        # all hosts must agree on the shuffled order before partitioning
+        random.Random(0x51).shuffle(paths)
+    else:
+        random.shuffle(paths)  # signalAlign.py:92 shuffles before capping
     paths = paths[:args.nb_files]
-    if not paths:
+    if dist_run:
+        import jax
+        paths = distributed.partition_paths(paths)
+        print(f"signal_align - process {jax.process_index()}/"
+              f"{jax.process_count()}: {len(paths)} reads", file=sys.stderr)
+    if not paths and not dist_run:
         print("signal_align - no input files", file=sys.stderr)
         return 1
 
     os.makedirs(args.output_location, exist_ok=True)
     out_tsv = os.path.join(args.output_location, "posteriors.tsv")
+    if dist_run:
+        import jax
+        out_tsv = os.path.join(args.output_location,
+                               f"posteriors.part{jax.process_index()}.tsv")
     work = [(p, ref_seq, contig, args.templateModel, args.complementModel,
              params, sm_type, out_tsv, args.substitute, args.targetRegions)
             for p in paths]
@@ -298,6 +321,24 @@ def main(argv=None):
                 with open(part) as fh:
                     merged.write(fh.read())
                 os.unlink(part)
+    if dist_run:
+        # all hosts finished their slice; process 0 merges the part files
+        # (shared filesystem, like the reference's expectation-file reduce)
+        import jax
+
+        from ..parallel.distributed import barrier
+        barrier("signal_align_merge")
+        if jax.process_index() == 0:
+            final = os.path.join(args.output_location, "posteriors.tsv")
+            with open(final, "a") as merged:
+                for pid in range(jax.process_count()):
+                    part = os.path.join(args.output_location,
+                                        f"posteriors.part{pid}.tsv")
+                    if os.path.exists(part):
+                        with open(part) as fh:
+                            merged.write(fh.read())
+                        os.unlink(part)
+            out_tsv = final
     print(f"signal_align - aligned {ok}/{len(results)} reads -> {out_tsv}")
     return 0
 

@@ -159,6 +159,17 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
             nhdps[strand] = deserialize_nhdp(path)
             density[strand] = nhdps[strand].density_logp_fn()
 
+    # multi-host: each host prepares + E-steps its own slice of the read
+    # list; per-iteration tallies are all-reduced before the M-step (the
+    # reference's per-read expectation files + filesystem sum,
+    # trainModels.py:107-135, collapsed into a DCN reduction)
+    dist_run = os.environ.get("SIGALIGN_COORDINATOR") is not None
+    if dist_run:
+        from ..parallel import distributed
+        if not distributed.is_initialized():
+            distributed.initialize()
+        npread_paths = distributed.partition_paths(sorted(npread_paths))
+
     reads = []
     for path in npread_paths:
         npread = load_npread(path)
@@ -166,7 +177,7 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
                              descale=(sm_type == "threeStateHdp"))
         if prep is not None:
             reads.append(prep)
-    if not reads:
+    if not reads and not dist_run:
         raise RuntimeError("no mappable training reads")
     log(f"train_models - using {len(reads)} reads")
 
@@ -280,6 +291,9 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
                                       density.get(strand))
                     if r is not None:
                         acc.add(r)
+            if dist_run:
+                from ..parallel.distributed import merge_accumulator
+                merge_accumulator(acc)
             acc.normalize()
             accs[strand] = acc
             if sm_type == "threeState":
@@ -295,28 +309,45 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
                 # (trainModels.py:321-324 -> vanillaAlign --buildHDP each
                 # iteration) and reload densities for the next E-step
                 if acc.n_assignments:
-                    from ..hdp.nanopore import NanoporeHDP
+                    from ..hdp.nanopore import NanoporeHDP, deserialize_nhdp
                     from .build_hdp import _fresh_like
-                    old = nhdps[strand]
-                    nhdp = NanoporeHDP(alphabet=old.alphabet,
-                                       kmer_length=old.kmer_length,
-                                       topology=old.topology,
-                                       hdp=_fresh_like(old))
-                    nhdp.set_assignments(acc.kmer_assignments,
-                                         acc.event_assignments)
-                    nhdp.gibbs(**gibbs)
-                    nhdp.finalize()
                     name = "template" if strand == "t" else "complement"
-                    nhdp.serialize(os.path.join(out_dir, f"{name}_trained.nhdp"))
-                    nhdps[strand] = nhdp
-                    density[strand] = nhdp.density_logp_fn()
+                    out_nhdp = os.path.join(out_dir, f"{name}_trained.nhdp")
+                    # multi-host: Gibbs is stochastic, so only process 0
+                    # rebuilds; others reload the serialized result after
+                    # the barrier (shared filesystem, like the reference's
+                    # vanillaAlign --buildHDP fan-in)
+                    import jax as _jax
+                    if not dist_run or _jax.process_index() == 0:
+                        old = nhdps[strand]
+                        nhdp = NanoporeHDP(alphabet=old.alphabet,
+                                           kmer_length=old.kmer_length,
+                                           topology=old.topology,
+                                           hdp=_fresh_like(old))
+                        nhdp.set_assignments(acc.kmer_assignments,
+                                             acc.event_assignments)
+                        nhdp.gibbs(**gibbs)
+                        nhdp.finalize()
+                        nhdp.serialize(out_nhdp)
+                        nhdps[strand] = nhdp
+                    if dist_run:
+                        from ..parallel.distributed import barrier
+                        barrier(f"hdp_rebuild_{strand}_{it}")
+                        if _jax.process_index() != 0:
+                            nhdps[strand] = deserialize_nhdp(out_nhdp)
+                    density[strand] = nhdps[strand].density_logp_fn()
         lik = sum(a.likelihood for a in accs.values())
         history.append(lik)
         log(f"train_models - iteration {it}: likelihood {lik:.2f}")
         final = accs
-        for strand, name in (("t", "template"), ("c", "complement")):
-            final[strand].write(os.path.join(out_dir, f"{name}_trained.hmm"))
-        if checkpoint_dir:
+        import jax as _jax
+        if not dist_run or _jax.process_index() == 0:
+            for strand, name in (("t", "template"), ("c", "complement")):
+                final[strand].write(os.path.join(out_dir,
+                                                 f"{name}_trained.hmm"))
+        if checkpoint_dir and dist_run and _jax.process_index() != 0:
+            pass  # process 0 owns the checkpoint files
+        elif checkpoint_dir:
             from ..utils.checkpoint import save_checkpoint
             ck_state = {"history": np.asarray(history)}
             for strand in ("t", "c"):

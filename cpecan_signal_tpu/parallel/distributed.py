@@ -83,3 +83,78 @@ def replicate(tree, mesh: Mesh):
     """Place small model state replicated on every device."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def allreduce_sum(*arrays):
+    """Sum each array across processes (DCN all-reduce via the multihost
+    allgather utility; tiny EM tallies, so bandwidth is irrelevant).
+    Returns numpy arrays; identity on single-process runs."""
+    if jax.process_count() == 1:
+        return tuple(np.asarray(a) for a in arrays)
+    from jax.experimental import multihost_utils
+
+    out = []
+    for a in arrays:
+        g = multihost_utils.process_allgather(np.asarray(a))
+        out.append(np.asarray(g).sum(axis=0))
+    return tuple(out)
+
+
+def allgather_concat(a: np.ndarray) -> np.ndarray:
+    """Concatenate a variable-length per-process array across processes
+    (rows in process order).  Pads to the max length, gathers, unpads."""
+    a = np.asarray(a)
+    if jax.process_count() == 1:
+        return a
+    from jax.experimental import multihost_utils
+
+    ns = np.asarray(multihost_utils.process_allgather(
+        np.asarray([a.shape[0]], dtype=np.int64))).reshape(-1)
+    m = int(ns.max())
+    pad = np.zeros((m - a.shape[0],) + a.shape[1:], a.dtype)
+    g = np.asarray(multihost_utils.process_allgather(
+        np.concatenate([a, pad]) if m else a.reshape((0,) + a.shape[1:])))
+    return np.concatenate([g[i, :int(ns[i])] for i in range(g.shape[0])]) \
+        if m else a
+
+
+def merge_accumulator(acc):
+    """All-reduce an EM accumulator's tallies across processes in place
+    (the multi-host form of the reference's expectation-file sum,
+    trainModels.py:126-135).  Supports ContinuousPairHmm (transitions +
+    kmer_gap + likelihood), VanillaHmm (bins + likelihood) and HdpHmm
+    (transitions + likelihood + assignment concatenation)."""
+    if jax.process_count() == 1:
+        return acc
+    from ..em.accumulators import ContinuousPairHmm, HdpHmm, VanillaHmm
+
+    if isinstance(acc, ContinuousPairHmm):
+        t, k, l = allreduce_sum(acc.transitions, acc.kmer_gap,
+                                np.asarray(acc.likelihood))
+        acc.transitions, acc.kmer_gap, acc.likelihood = t, k, float(l)
+    elif isinstance(acc, VanillaHmm):
+        b, l = allreduce_sum(acc.bins, np.asarray(acc.likelihood))
+        acc.bins, acc.likelihood = b, float(l)
+    elif isinstance(acc, HdpHmm):
+        t, l = allreduce_sum(acc.transitions, np.asarray(acc.likelihood))
+        acc.transitions, acc.likelihood = t, float(l)
+        kb = np.array(acc.kmer_assignments, dtype="S16").reshape(-1, 1)
+        kb = kb.view(np.uint8).reshape(-1, 16) if len(kb) else \
+            np.zeros((0, 16), np.uint8)
+        kmers = allgather_concat(kb)
+        events = allgather_concat(np.asarray(acc.event_assignments,
+                                             dtype=np.float64))
+        acc.kmer_assignments = [bytes(r).rstrip(b"\x00").decode()
+                                for r in kmers]
+        acc.event_assignments = list(events)
+    else:
+        raise TypeError(f"cannot merge accumulator {type(acc)!r}")
+    return acc
+
+
+def barrier(tag: str = "barrier") -> None:
+    """Global cross-process synchronization point."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
