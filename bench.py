@@ -204,6 +204,65 @@ def build_read_set(raw):
     return reads
 
 
+GIBBS_SNIPPET = r"""
+import numpy as np, time, sys
+sys.path.insert(0, %(repo)r)
+from cpecan_signal_tpu.hdp.nanopore import build_nanopore_hdp
+rng = np.random.default_rng(0)
+nhdp = build_nanopore_hdp("multiset", %(model)r)   # ACEGOT, 46656 leaves
+n_pts = 100_000
+# realistic concentration: a genome exposes ~1-4k distinct kmers, so leaf
+# factor pools hold many data points (where the OpenMP likelihood pools
+# actually engage, hdp.c:1805-1816)
+distinct = rng.choice(nhdp.num_leaves, 2000, replace=False)
+ids = distinct[rng.integers(0, len(distinct), n_pts)]
+sig = rng.uniform(40.0, 80.0, n_pts)
+nhdp.hdp.set_data(sig, ids)
+ITERS = 30_000
+t0 = time.perf_counter()
+nhdp.gibbs(num_samples=1, burn_in=ITERS, thinning=1)
+dt = time.perf_counter() - t0
+print(f"{ITERS/dt:.1f}")
+"""
+
+
+def gibbs_throughput():
+    """Gibbs sampler throughput on the production-scale epigenetic HDP
+    (ACEGOT multiset, 46,656 leaf DPs, 10k data points): data-point
+    iterations/s, projected wall-clock for the reference training budget
+    (10k samples / 100k burn-in / thinning 100 = 1.1M iterations,
+    vanillaAlign.c:148), and the OpenMP scaling check (1 thread vs all)."""
+    import subprocess
+
+    code = GIBBS_SNIPPET % {"repo": REPO, "model": TMODEL}
+    rates = {}
+    for tag, env_extra in (("omp1", {"OMP_NUM_THREADS": "1"}),
+                           ("ompN", {})):
+        env = dict(os.environ)
+        env.pop("OMP_NUM_THREADS", None)
+        env.update(env_extra)
+        env["JAX_PLATFORMS"] = "cpu"
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=900)
+        if r.returncode != 0:
+            log(f"bench - gibbs {tag} failed: {r.stderr[-200:]}")
+            return
+        rates[tag] = float(r.stdout.strip().splitlines()[-1])
+    budget = 100_000 + 10_000 * 100
+    ref_rate = None
+    if os.path.exists(DRIVER):
+        r = subprocess.run([DRIVER, "gibbsbench", "100000", "2000", "30000"],
+                           capture_output=True, text=True, timeout=900)
+        if r.returncode == 0:
+            ref_rate = float(json.loads(r.stdout)["iters_per_sec"])
+    vs = f", {rates['ompN']/ref_rate:.2f}x the reference sampler ({ref_rate:,.0f})" \
+        if ref_rate else ""
+    log(f"bench - HDP Gibbs (ACEGOT multiset, 46656 leaves, 100k points): "
+        f"{rates['ompN']:,.0f} iter/s (1 thread: {rates['omp1']:,.0f}, "
+        f"OpenMP x{rates['ompN']/rates['omp1']:.2f}{vs}); reference budget "
+        f"10k/100k/100 = {budget/rates['ompN']:.0f} s/strand")
+
+
 def main():
     import jax
 
@@ -401,6 +460,9 @@ def main():
     log(f"bench - end-to-end CLI path: {len(reads)} reads in {rdt*1000:.0f} ms "
         f"({len(reads)/rdt:.1f} reads/s/chip, {n_ev_reads/rdt:,.0f} ev/s "
         f"incl. host prep + tunnel dispatch; {n_pairs} aligned pairs)")
+
+    if os.environ.get("BENCH_GIBBS", "1") != "0":
+        gibbs_throughput()
 
     # --- single-core reference engine on identical (unsplit) inputs ---
     secs = reference_engine_seconds(raw, params)

@@ -387,12 +387,17 @@ def main(argv=None):
             from ..em.accumulators import load_signal_hmm, signal_sm_params
             trained[strand] = signal_sm_params(load_signal_hmm(path))
 
-    # HDP densities (threeStateHdp alignment path)
+    # HDP densities (threeStateHdp alignment path).  With --substitute the
+    # target contains expanded-alphabet symbols (E/O), so the density must
+    # rank k-mers over the HDP's own alphabet (alphabet_density_fn).
     hdp_density = {"t": None, "c": None}
     for strand, path in (("t", args.templateHdp), ("c", args.complementHdp)):
         if path:
             from ..hdp.nanopore import deserialize_nhdp
-            hdp_density[strand] = deserialize_nhdp(path).density_logp_fn()
+            nhdp = deserialize_nhdp(path)
+            hdp_density[strand] = (nhdp.alphabet_density_fn()
+                                   if args.substitute
+                                   else nhdp.density_logp_fn())
     if sm_type == "threeStateHdp" and (hdp_density["t"] is None or
                                        hdp_density["c"] is None):
         print("threeStateHdp needs --templateHdp and --complementHdp",

@@ -171,6 +171,21 @@ class NanoporeHDP:
     def kmer_id(self, kmer: str) -> int:
         return kmer_id(kmer, self.alphabet)
 
+    def rank_seq(self, seq: str, convention: str = "clamp") -> np.ndarray:
+        """Per-DP-position k-mer ids over THIS alphabet, with the x = -1
+        sentinel prepended (the contract of core.kmers.ranks_with_convention
+        but over an expanded alphabet — e.g. an 'ACEGOT' target produced by
+        the --substitute methylation rewrite, vanillaAlign.c:638-642).
+        clamp follows sequence_getKmer3 (x < 0 reads the first k-mer)."""
+        assert convention == "clamp"
+        k = self.kmer_length
+        lx = len(seq) - k + 1
+        out = np.empty(lx + 1, dtype=np.int64)
+        for x in range(lx):
+            out[x + 1] = self.kmer_id(seq[x:x + k])
+        out[0] = out[1] if lx > 0 else 0
+        return out
+
     def update_from_alignment(self, tsv_path: str, strand_filter: str | None = None,
                               substitute: dict[str, str] | None = None) -> int:
         """Ingest (signal, kmer) pairs from a 15-column alignment TSV
@@ -221,6 +236,35 @@ class NanoporeHDP:
             kmer = rank_to_kmer(r)
             table[r] = self.hdp.densities(self.kmer_id(kmer), grid)
         return table
+
+    def alphabet_density_fn(self):
+        """Density function over THIS alphabet's k-mer ids, evaluated
+        lazily per distinct id (a full ACEGOT table would be 46,656 x grid
+        — ~450 MB — so rows are materialized on demand and cached).  The
+        returned function carries a ``rank_seq`` attribute so
+        make_signal_sm3_hdp can rank substituted targets over the expanded
+        alphabet.  Raw-density semantics as density_logp_fn."""
+        grid = self.hdp.grid
+        cache: dict[int, np.ndarray] = {}
+
+        def density(ids: np.ndarray, means: np.ndarray) -> np.ndarray:
+            ids = np.asarray(ids)
+            for i in np.unique(ids):
+                if int(i) not in cache:
+                    cache[int(i)] = self.hdp.densities(int(i), grid)
+            table = np.stack([cache[int(i)] for i in np.unique(ids)])
+            remap = {int(i): j for j, i in enumerate(np.unique(ids))}
+            rows = np.vectorize(remap.get)(ids)
+            pos = np.clip((means - grid[0]) / (grid[1] - grid[0]), 0,
+                          len(grid) - 1 - 1e-9)
+            i0 = pos.astype(np.int64)
+            t = pos - i0
+            v = ((1 - t) * table[rows, i0]
+                 + t * table[rows, np.minimum(i0 + 1, len(grid) - 1)])
+            return np.maximum(v, 0.0)
+
+        density.rank_seq = self.rank_seq
+        return density
 
     def density_logp_fn(self):
         """Vectorized density function for make_signal_sm3_hdp: linear

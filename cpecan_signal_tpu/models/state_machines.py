@@ -558,7 +558,13 @@ def make_signal_sm3_hdp(density_logp: Callable[[np.ndarray, np.ndarray], np.ndar
     if transitions:
         t.update(transitions)
 
-    ranks = kmerlib.ranks_with_convention(target_seq, "clamp")
+    # a density fn carrying rank_seq (NanoporeHDP.alphabet_density_fn) ranks
+    # the target over the HDP's own alphabet — required for --substitute
+    # targets whose k-mers contain E/O (epigenetic alphabet)
+    if hasattr(density_logp, "rank_seq"):
+        ranks = density_logp.rank_seq(target_seq, "clamp")
+    else:
+        ranks = kmerlib.ranks_with_convention(target_seq, "clamp")
     ev = np.concatenate([np.zeros((1, events.shape[1])), events], axis=0)
 
     def emissions(x_idx, y_idx):

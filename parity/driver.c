@@ -35,6 +35,7 @@
 #include "stateMachine.h"
 #include "continuousHmm.h"
 #include "nanopore_hdp.h"
+#include "hdp.h"
 #include "sonLib.h"
 
 static char *readLine(const char *path) {
@@ -102,6 +103,32 @@ int main(int argc, char **argv) {
             fprintf(out, "\n");
         }
         fclose(kf); fclose(mf); fclose(out);
+        return 0;
+    }
+    if (argc >= 2 && strcmp(argv[1], "gibbsbench") == 0) {
+        /* gibbsbench n_points n_distinct iters — time the REFERENCE Gibbs
+         * sampler on a fresh ACEGOT multiset NHDP with synthetic
+         * assignments (same workload as bench.py's Gibbs phase). */
+        if (argc != 5) { fprintf(stderr, "usage: %s gibbsbench n_pts n_distinct iters\n", argv[0]); return 2; }
+        int64_t nPts = atoll(argv[2]), nDist = atoll(argv[3]), iters = atoll(argv[4]);
+        NanoporeHDP *nHdp = multiset_hdp_model("ACEGOT", 6, 6, 1.0, 1.0, 1.0,
+                                               30.0, 90.0, 1200,
+                                               "/root/reference/models/template_median68pA.model");
+        double *xs = st_malloc(nPts * sizeof(double));
+        int64_t *ids = st_malloc(nPts * sizeof(int64_t));
+        srand(7);
+        int64_t nLeaves = 46656;
+        for (int64_t i = 0; i < nPts; i++) {
+            ids[i] = (rand() % nDist) * (nLeaves / nDist);
+            xs[i] = 40.0 + 40.0 * ((double) rand() / RAND_MAX);
+        }
+        pass_data_to_hdp(nHdp->hdp, xs, ids, nPts);
+        struct timespec t0, t1;
+        clock_gettime(CLOCK_MONOTONIC, &t0);
+        execute_nhdp_gibbs_sampling(nHdp, 1, iters, 1, 0);
+        clock_gettime(CLOCK_MONOTONIC, &t1);
+        double dt = (t1.tv_sec - t0.tv_sec) + 1e-9 * (t1.tv_nsec - t0.tv_nsec);
+        printf("{\"iters_per_sec\": %.1f}\n", iters / dt);
         return 0;
     }
     if (argc < 13) {
