@@ -1,5 +1,16 @@
 """Generic banded forward-backward engine (lax.scan over anti-diagonals).
 
+ENGINE ROLES (one recursion, three implementations, VERDICT r2 item 9):
+  * this module — the f64 ORACLE: reference-band layout, exact logaddexp,
+    any machine; every other engine is validated against it;
+  * engine/window.py — the window-layout scan engine (host-packed, f32/f64),
+    the fallback batched path and the source of the generic Pallas packs;
+  * ops/pallas_fb.py via engine/pallas_pipeline.py — PRODUCTION: the Pallas
+    wavefront kernels (device-computed SM3 emissions, fused backward with
+    posteriors + EM tallies).
+engine/device.py is the batched per-problem device pipeline used by the
+virtual-mesh sharding paths (parallel/mesh.py, __graft_entry__ dryrun).
+
 Replaces the reference's forward-sweep-with-checkpointed-traceback
 (getPosteriorProbsWithBanding, pairwiseAligner.c:870-1006) with a full banded
 FB per (split) matrix: posterior output depends only on f*b/total per cell, so

@@ -330,3 +330,78 @@ def test_traceback_cadence_characterization(driver, zymo_prep, tmp_path):
     # cadence 1000) — the documented intentional divergence of our
     # per-split full-FB likelihood from the reference's default cadence
     assert 0.05 * abs(l1) < abs(l1 - l2) < 0.15 * abs(l1), (l1, l2)
+
+
+def test_full_tsv_parity(driver, tmp_path):
+    """The user-facing 15-column TSV (writePosteriorProbs,
+    vanillaAlign.c:26-96) against the reference's own vanillaAlign binary
+    compiled in place (with -DNDEBUG, as its production build must have
+    been: nanopore.c:49 asserts 12 npRead header tokens but every real
+    npRead has 13), fed the SAME guide CIGAR on stdin.
+
+    Template strand only: with a forward guide the reference slices the
+    complement events as eventMap[end2] - eventMap[start2], which is
+    NEGATIVE for the descending complement map
+    (makeEventSequenceFromPairwiseAlignment, vanillaAlign.c:301-316) — its
+    complement alignment yields 0 pairs (observed: `0(-nan)` in its own
+    summary line), a reference defect our rebasing does not share."""
+    from cpecan_signal_tpu.cli.vanilla_align import align_read, guide_alignment
+    from cpecan_signal_tpu.models.pore_model import load_pore_model
+
+    vanilla_bin = os.path.join(PARITY, "build", "vanillaAlign")
+    r = subprocess.run(["make", "-C", PARITY, "build/vanillaAlign"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0 and os.path.exists(vanilla_bin), r.stderr
+
+    _, ref_seq = read_first_sequence(REF)
+    npread = load_npread(NPREAD)
+    params = cli_defaults()
+    guide = guide_alignment(ref_seq, npread.twoD_read,
+                            params.constraint_diagonal_trim)
+    assert guide is not None
+
+    ref_out = tmp_path / "ref.tsv"
+    r = subprocess.run(
+        [vanilla_bin, "-s", "-r", REF, "-q", NPREAD,
+         "-T", TMODEL, "-C", CMODEL, "-u", str(ref_out), "-L", "read"],
+        input=guide.to_line() + "\n", capture_output=True, text=True,
+        timeout=900)
+    assert r.returncode == 0, r.stderr
+
+    our_out = tmp_path / "ours.tsv"
+    tmodel = load_pore_model(TMODEL)
+    cmodel = load_pore_model(CMODEL)
+    with open(our_out, "w") as fh:
+        res = align_read(ref_seq, guide.contig1, npread, tmodel, cmodel,
+                         params, sm_type="threeState", guide=guide,
+                         read_label="read", out_fh=fh)
+    assert res["status"] == "ok"
+
+    def rows(path):
+        out = {}
+        with open(path) as fh:
+            for line in fh:
+                f = line.rstrip("\n").split("\t")
+                assert len(f) == 15, f
+                if f[4] == "t":
+                    out[(f[4], int(f[1]), int(f[5]))] = f
+        return out
+
+    ref_rows = rows(ref_out)
+    our_rows = rows(our_out)
+    assert len(ref_rows) > 800
+    common = set(ref_rows) & set(our_rows)
+    # membership may differ only at the posterior threshold boundary
+    for k in set(ref_rows) - set(our_rows):
+        assert float(ref_rows[k][12]) < 0.01 + 2e-3, (k, ref_rows[k][12])
+    for k in set(our_rows) - set(ref_rows):
+        assert float(our_rows[k][12]) < 0.01 + 2e-3, (k, our_rows[k][12])
+    assert len(common) > 0.99 * len(ref_rows)
+    # text columns must match exactly; float columns to tight tolerance
+    for k in common:
+        a, b = ref_rows[k], our_rows[k]
+        assert a[0] == b[0] and a[2] == b[2] and a[3] == b[3] \
+            and a[9] == b[9], (a, b)
+        for col in (6, 7, 8, 10, 11, 13, 14):   # model/event floats
+            assert abs(float(a[col]) - float(b[col])) < 5e-4, (col, a, b)
+        assert abs(float(a[12]) - float(b[12])) < 1.5e-3, (a, b)  # posterior

@@ -8,7 +8,7 @@ from cpecan_signal_tpu.core.anchors import (filter_to_remove_overlap,
                                             remap_anchor_pairs)
 from cpecan_signal_tpu.core.band import band_construct
 from cpecan_signal_tpu.core.window import smooth_band
-from cpecan_signal_tpu.engine import fb, window, window_device
+from cpecan_signal_tpu.engine import fb, window
 from cpecan_signal_tpu.engine import expectations as ek
 from cpecan_signal_tpu.io.npread import load_npread
 from cpecan_signal_tpu.models.params import AlignmentParams
@@ -98,30 +98,3 @@ def test_window_matches_fb_sm3_zymo(zymo):
     assert float(lik_w) == pytest.approx(float(lik_fb), rel=1e-12)
 
 
-def test_window_device_batch(zymo):
-    ref_seq, npread, pore, band = zymo
-    events = npread.template_events
-    wband = smooth_band(band)
-
-    sm = make_signal_sm3(pore, ref_seq, events)
-    plan_h, winp = window.prepare_window_inputs(sm, wband, ragged_left=True,
-                                               ragged_right=True)
-    Fw = window.forward(plan_h, winp)
-    Bw = window.backward(plan_h, winp)
-    p_h, tot_h = window.posterior_match_probs(plan_h, winp, Fw, Bw)
-
-    plan_d, prob = window_device.make_sm3_window_problem(
-        pore, ref_seq, events, wband, pad_d=wband.n_diagonals + 13,
-        dtype=np.float64)
-    assert plan_d == plan_h
-    p_d, x_d, y_d, tot_d = window_device.sm3_batch_posteriors(
-        plan_d, wband.W, window_device.stack_problems([prob, prob]))
-    D = wband.n_diagonals
-    np.testing.assert_allclose(np.asarray(p_d)[0][:D], np.asarray(p_h), atol=1e-9)
-    np.testing.assert_allclose(np.asarray(tot_d)[0][:D], np.asarray(tot_h), atol=1e-6)
-
-    trans_d, kmer_d, lik_d = window_device.sm3_batch_expectations(
-        plan_d, wband.W, window_device.stack_problems([prob, prob]))
-    trans_h, kmer_h, lik_h = window.threestate_expectations(plan_h, winp, Fw, Bw)
-    np.testing.assert_allclose(np.asarray(trans_d), 2 * np.asarray(trans_h), rtol=1e-9)
-    np.testing.assert_allclose(np.asarray(kmer_d), 2 * np.asarray(kmer_h), rtol=1e-9)
