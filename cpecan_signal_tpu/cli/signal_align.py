@@ -270,8 +270,22 @@ def main(argv=None):
     out_tsv = os.path.join(args.output_location, "posteriors.tsv")
     if dist_run:
         import jax
+
+        from ..parallel.distributed import barrier
+        # process 0 clears the final TSV and any stale part files BEFORE the
+        # append-mode merge: re-running into an existing output directory
+        # must not silently duplicate rows
+        if jax.process_index() == 0:
+            for stale in glob.glob(os.path.join(args.output_location,
+                                                "posteriors.part*.tsv")):
+                os.unlink(stale)
+            if os.path.exists(out_tsv):
+                os.unlink(out_tsv)
+        barrier("signal_align_clean")
         out_tsv = os.path.join(args.output_location,
                                f"posteriors.part{jax.process_index()}.tsv")
+    elif os.path.exists(out_tsv):
+        os.unlink(out_tsv)
     work = [(p, ref_seq, contig, args.templateModel, args.complementModel,
              params, sm_type, out_tsv, args.substitute, args.targetRegions)
             for p in paths]

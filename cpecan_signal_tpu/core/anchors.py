@@ -118,7 +118,9 @@ def get_split_points(anchor_pairs: np.ndarray, lX: int, lY: int,
         if lX2 * lY2 > split_matrix_bigger_than_this or wide:
             max_len = int(math.sqrt(split_matrix_bigger_than_this))
             if wide:
-                max_len = min(max_len, max_gap_min_dim // 2)
+                # clamp: a degenerate max_gap_min_dim < 2 must not produce
+                # zero-size half-rectangles
+                max_len = min(max_len, max(max_gap_min_dim // 2, 1))
             hX = min(lX2 // 2, max_len)
             hY = min(lY2 // 2, max_len)
             if not skip_block:

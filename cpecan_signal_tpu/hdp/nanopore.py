@@ -249,12 +249,18 @@ class NanoporeHDP:
 
         def density(ids: np.ndarray, means: np.ndarray) -> np.ndarray:
             ids = np.asarray(ids)
-            for i in np.unique(ids):
+            uniq = np.unique(ids)
+            for i in uniq:
                 if int(i) not in cache:
                     cache[int(i)] = self.hdp.densities(int(i), grid)
-            table = np.stack([cache[int(i)] for i in np.unique(ids)])
-            remap = {int(i): j for j, i in enumerate(np.unique(ids))}
-            rows = np.vectorize(remap.get)(ids)
+            if len(cache) > 8192:   # bound memory on pathological id churn
+                for key in list(cache)[: len(cache) - 8192]:
+                    del cache[key]
+                for i in uniq:
+                    if int(i) not in cache:
+                        cache[int(i)] = self.hdp.densities(int(i), grid)
+            table = np.stack([cache[int(i)] for i in uniq])
+            rows = np.searchsorted(uniq, ids)
             pos = np.clip((means - grid[0]) / (grid[1] - grid[0]), 0,
                           len(grid) - 1 - 1e-9)
             i0 = pos.astype(np.int64)

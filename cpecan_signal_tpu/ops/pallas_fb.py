@@ -269,22 +269,15 @@ def _forward_kernel(plan, Bt, W, kd, E_ref, ds_ref, dlast_ref, start_ref,
 
 
 def _pick_bt(Bn: int, W: int, Bt: int | None, kd: int = 1,
-             vmem_budget: int = 6 * 1024 * 1024, rows: int = 14,
-             fixed_bytes: int = 0, cap: int | None = None) -> int:
+             vmem_budget: int = 6 * 1024 * 1024, rows: int = 14) -> int:
     """Problems per block: as many as VMEM comfortably allows (grid-step
     overhead dominates at small Bt), rounded down to a divisor of Bn.  The
     budget covers ``rows`` (kd, W)-row f32 blocks per problem — for SM3's
     backward that is ~14 (2xE, 2xF, outputs) plus carries — times double
-    buffering; wide-channel machines (echelon) pass a larger row count.
-    ``fixed_bytes`` counts grid-constant per-problem VMEM blocks (the fused
-    kernels' parameter packs, which Mosaic keeps resident — not
-    double-buffered — because their block index never changes); ``cap``
-    bounds Bt from above (SMEM row budgets)."""
+    buffering; wide-channel machines (echelon) pass a larger row count."""
     if Bt is None:
-        per_problem = max(kd, 1) * max(W, 1) * 4 * max(rows, 1) * 2 + fixed_bytes
+        per_problem = max(kd, 1) * max(W, 1) * 4 * max(rows, 1) * 2
         Bt = max(8, vmem_budget // per_problem)
-    if cap is not None:
-        Bt = min(Bt, max(cap, 1))
     Bt = min(Bt, Bn)
     # Mosaic requires the sublane block dim divisible by 8 or equal to the
     # array dim (the (Bt, 1) scalar inputs hit this): accept Bt == Bn or a

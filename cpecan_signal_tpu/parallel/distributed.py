@@ -138,6 +138,8 @@ def merge_accumulator(acc):
     elif isinstance(acc, HdpHmm):
         t, l = allreduce_sum(acc.transitions, np.asarray(acc.likelihood))
         acc.transitions, acc.likelihood = t, float(l)
+        kw = max((len(k) for k in acc.kmer_assignments), default=0)
+        assert kw <= 16, f"kmer assignment wider than the S16 pack: {kw}"
         kb = np.array(acc.kmer_assignments, dtype="S16").reshape(-1, 1)
         kb = kb.view(np.uint8).reshape(-1, 16) if len(kb) else \
             np.zeros((0, 16), np.uint8)
