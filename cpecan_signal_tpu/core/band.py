@@ -77,16 +77,10 @@ def _set_current_diagonal(xay: int, xL: int, yL: int, xU: int, yU: int) -> tuple
     return xmyL, xmyR
 
 
-def band_construct(anchor_pairs: np.ndarray | list, lX: int, lY: int, expansion: int) -> Band:
-    """Build the band from anchors (sequence coordinates, strictly increasing in
-    both axes) with +-expansion cells around the anchor path.
-
-    Exact reimplementation of band_construct (pairwiseAligner.c:132-184):
-    between consecutive anchors (px, py) -> (nx, ny) (in matrix coordinates,
-    i.e. sequence + 1) the band segment corners are
-      xL = bound(x(pxay, pxmy - e)), yL = bound(y(nxay, nxmy - e)),
-      xU = bound(x(nxay, nxmy + e)), yU = bound(y(pxay, pxmy + e)).
-    """
+def _band_construct_loop(anchor_pairs: np.ndarray | list, lX: int, lY: int,
+                         expansion: int) -> Band:
+    """Reference per-diagonal loop (kept as the differential-test oracle for
+    the vectorized band_construct below)."""
     assert lX >= 0 and lY >= 0 and expansion % 2 == 0
     anchors = np.asarray(anchor_pairs, dtype=np.int64).reshape(-1, 2)
     n_diag = lX + lY + 1
@@ -119,4 +113,70 @@ def band_construct(anchor_pairs: np.ndarray | list, lX: int, lY: int, expansion:
             yL = _bound(_y_of(nxay, nxmy - expansion), lY)
             xU = _bound(_x_of(nxay, nxmy + expansion), lX)
             yU = _bound(_y_of(pxay, pxmy + expansion), lY)
+    return Band(lX=lX, lY=lY, xmyL=xmyL, xmyR=xmyR)
+
+
+def band_construct(anchor_pairs: np.ndarray | list, lX: int, lY: int, expansion: int) -> Band:
+    """Build the band from anchors (sequence coordinates, strictly increasing in
+    both axes) with +-expansion cells around the anchor path.
+
+    Exact reimplementation of band_construct (pairwiseAligner.c:132-184):
+    between consecutive anchors (px, py) -> (nx, ny) (in matrix coordinates,
+    i.e. sequence + 1) the band segment corners are
+      xL = bound(x(pxay, pxmy - e)), yL = bound(y(nxay, nxmy - e)),
+      xU = bound(x(nxay, nxmy + e)), yU = bound(y(pxay, pxmy + e)).
+
+    Fully vectorized (the per-diagonal loop cost dominated host prep on long
+    reads): diagonal d in (pxay, nxay] of chain segment i gets segment i's
+    corners; the parity fix and the four corner-bounding corrections of
+    band_setCurrentDiagonal (pairwiseAligner.c:108-126) are applied in the
+    reference's sequential order as elementwise passes.  Differentially
+    tested against _band_construct_loop (tests/test_core.py).
+    """
+    assert lX >= 0 and lY >= 0 and expansion % 2 == 0
+    anchors = np.asarray(anchor_pairs, dtype=np.int64).reshape(-1, 2)
+    if len(anchors):
+        ax, ay = anchors[:, 0], anchors[:, 1]
+        assert (ax >= 0).all() and (ay >= 0).all(), "negative anchor"
+        assert (ax < lX).all() and (ay < lY).all(), "anchor out of range"
+        assert ((ax[1:] > ax[:-1]) & (ay[1:] > ay[:-1])).all(), \
+            "anchors must strictly increase in both axes"
+
+    # chain of matrix-coordinate points: (0,0) -> anchors+1 -> (lX, lY)
+    cx = np.concatenate([[0], anchors[:, 0] + 1, [lX]])
+    cy = np.concatenate([[0], anchors[:, 1] + 1, [lY]])
+    pxay, pxmy = (cx + cy)[:-1], (cx - cy)[:-1]
+    nxay, nxmy = (cx + cy)[1:], (cx - cy)[1:]
+
+    bound = lambda z, l: np.clip(z, 0, l)
+    xLs = bound((pxay + pxmy - expansion) // 2, lX)
+    yLs = bound((nxay - nxmy + expansion) // 2, lY)
+    xUs = bound((nxay + nxmy + expansion) // 2, lX)
+    yUs = bound((pxay - pxmy - expansion) // 2, lY)
+
+    n_diag = lX + lY + 1
+    counts = nxay - pxay                       # telescoping: sums to lX + lY
+    seg = np.repeat(np.arange(len(counts)), counts)
+    d = np.arange(1, n_diag, dtype=np.int64)
+    xL, yL, xU, yU = xLs[seg], yLs[seg], xUs[seg], yUs[seg]
+
+    L = xL - yL
+    R = xU - yU
+    L = L + ((d + L) & 1)                      # avoid-off-by-one parity fix
+    R = R + ((d + R) & 1)
+    # sequential corner-bounding corrections (each uses the updated value)
+    L = L + 2 * np.maximum(xL - (d + L) // 2, 0)
+    L = L + 2 * np.maximum((d - L) // 2 - yL, 0)
+    R = R - 2 * np.maximum((d + R) // 2 - xU, 0)
+    R = R - 2 * np.maximum(yU - (d - R) // 2, 0)
+    if not ((L <= R).all() and (((d + L) % 2) == 0).all()
+            and (((d + R) % 2) == 0).all()):
+        bad = int(np.flatnonzero((L > R) | ((d + L) % 2 != 0)
+                                 | ((d + R) % 2 != 0))[0])
+        raise ValueError(
+            f"invalid diagonal xay={d[bad]} xmyL={L[bad]} xmyR={R[bad]}")
+
+    xmyL = np.zeros(n_diag, dtype=np.int64)
+    xmyR = np.zeros(n_diag, dtype=np.int64)
+    xmyL[1:], xmyR[1:] = L, R
     return Band(lX=lX, lY=lY, xmyL=xmyL, xmyR=xmyR)

@@ -43,42 +43,36 @@ def _round_up(x: int, m: int) -> int:
 
 def smooth_band(band: Band, width_multiple: int = 8,
                 min_width: int | None = None) -> WindowBand:
-    """Compute a feasible constant-step window covering ``band``."""
+    """Compute a feasible constant-step window covering ``band``.
+
+    Vectorized in "u-space": with u = (d + w0)/2 (exact — (d + w0) is always
+    even by xmy parity), the exact +-1 xmy steps become nondecreasing integer
+    steps in {0, 1}, and the constraint xmyR - 2(W-1) <= w0 <= xmyL becomes
+    Ulo <= u <= Uhi.  Backward reachability is then two suffix scans
+      B[d] = min_{j>=d} Uhi[j]                (nondecreasing in d)
+      A[d] = max_{j>=d} (Ulo[j] - (j - d))    (A[d+1] <= A[d] + 1)
+    and u = prefix_max(A) is a valid path: it is nondecreasing, steps by at
+    most 1 (since A[d+1] <= A[d] + 1), and stays <= B because B is
+    nondecreasing and A <= B everywhere when feasible."""
     D = band.n_diagonals
     xmyL = band.xmyL.astype(np.int64)
     xmyR = band.xmyR.astype(np.int64)
     W = _round_up(max(int(band.max_width), min_width or 1), width_multiple)
 
+    d = np.arange(D, dtype=np.int64)
+    Uhi = (d + xmyL) >> 1
+    base_lo = (d + xmyR) >> 1
     while True:
-        lo_c = xmyR - 2 * (W - 1)   # w0 >= lo_c
-        hi_c = xmyL                  # w0 <= hi_c
-        # backward reachability: R_d = [lo, hi] of feasible w0 values
-        lo = np.empty(D, dtype=np.int64)
-        hi = np.empty(D, dtype=np.int64)
-        lo[D - 1], hi[D - 1] = lo_c[D - 1], hi_c[D - 1]
-        feasible = lo[D - 1] <= hi[D - 1]
-        for d in range(D - 2, -1, -1):
-            lo[d] = max(lo_c[d], lo[d + 1] - 1)
-            hi[d] = min(hi_c[d], hi[d + 1] + 1)
-            if lo[d] > hi[d]:
-                feasible = False
-                break
-        if feasible:
+        Ulo = base_lo - (W - 1)
+        B = np.minimum.accumulate(Uhi[::-1])[::-1]
+        A = np.maximum.accumulate((Ulo - d)[::-1])[::-1] + d
+        if (A <= B).all():
             break
         W += width_multiple
 
-    # forward greedy: start at the band start, then track the band center
-    w0 = np.empty(D, dtype=np.int64)
-    w0[0] = int(np.clip(xmyL[0], lo[0], hi[0]))
-    for d in range(1, D):
-        center_target = (xmyL[d] + xmyR[d]) // 2 - (W - 1)
-        step = 1 if center_target >= w0[d - 1] else -1
-        cand = w0[d - 1] + step
-        if cand < lo[d] or cand > hi[d]:
-            cand = w0[d - 1] - step
-        assert lo[d] <= cand <= hi[d], f"window tracking infeasible at d={d}"
-        w0[d] = cand
-
-    # parity check: (d + w0) must be even like the band's xmy coordinates
-    assert ((np.arange(D) + w0) % 2 == (np.arange(D) + xmyL) % 2).all()
+    u = np.maximum.accumulate(A)
+    w0 = 2 * u - d
+    # coverage + parity checks (cheap, vectorized)
+    assert ((w0 <= xmyL) & (w0 >= xmyR - 2 * (W - 1))).all()
+    assert ((d + w0) % 2 == (d + xmyL) % 2).all()
     return WindowBand(lX=band.lX, lY=band.lY, W=W, w0=w0, xmyL=xmyL, xmyR=xmyR)

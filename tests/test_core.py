@@ -156,3 +156,49 @@ class TestLogAdd:
         assert np.asarray(logadd_lookup(jnp.asarray(inf), jnp.asarray(-3.0))) == -3.0
         assert np.asarray(logadd_lookup(jnp.asarray(-3.0), jnp.asarray(inf))) == -3.0
         assert np.isneginf(np.asarray(logadd_lookup(jnp.asarray(inf), jnp.asarray(inf))))
+
+
+class TestBandVectorized:
+    """Differential: vectorized band_construct == the per-diagonal loop, and
+    the vectorized smooth_band produces a feasible exact +-1-step cover."""
+
+    def _random_anchors(self, rng, lX, lY):
+        n = int(rng.integers(0, 12))
+        if n == 0:
+            return np.zeros((0, 2), dtype=np.int64)
+        k = min(n, lX, lY)
+        xs = np.sort(rng.choice(lX, size=k, replace=False))
+        ys = np.sort(rng.choice(lY, size=k, replace=False))
+        return np.stack([xs, ys], axis=1)
+
+    def test_band_construct_matches_loop(self):
+        from cpecan_signal_tpu.core.band import _band_construct_loop
+        rng = np.random.default_rng(7)
+        for _ in range(60):
+            lX = int(rng.integers(1, 60))
+            lY = int(rng.integers(1, 60))
+            e = 2 * int(rng.integers(0, 12))
+            anchors = self._random_anchors(rng, lX, lY)
+            b_vec = band_construct(anchors, lX, lY, e)
+            b_ref = _band_construct_loop(anchors, lX, lY, e)
+            assert (b_vec.xmyL == b_ref.xmyL).all()
+            assert (b_vec.xmyR == b_ref.xmyR).all()
+
+    def test_smooth_band_valid_cover(self):
+        from cpecan_signal_tpu.core.window import smooth_band
+        rng = np.random.default_rng(11)
+        for _ in range(40):
+            lX = int(rng.integers(1, 80))
+            lY = int(rng.integers(1, 80))
+            e = 2 * int(rng.integers(0, 10))
+            anchors = self._random_anchors(rng, lX, lY)
+            band = band_construct(anchors, lX, lY, e)
+            for mult in (1, 8, 128):
+                wb = smooth_band(band, width_multiple=mult)
+                d = np.arange(band.n_diagonals)
+                # exact +-1 steps, parity, and full band coverage
+                assert (np.abs(np.diff(wb.w0)) == 1).all()
+                assert ((d + wb.w0) % 2 == 0).all()
+                assert (wb.w0 <= band.xmyL).all()
+                assert (wb.w0 + 2 * (wb.W - 1) >= band.xmyR).all()
+                assert wb.W % mult == 0 and wb.W >= band.max_width
