@@ -147,10 +147,13 @@ def evolve_sequence(seq, rng, sub=0.05, indel=0.02):
     return "".join(out)
 
 
-def simulate_read(pore, target, rng, stay=0.10, skip=0.04, noise_sd=0.6):
+def simulate_read(pore, target, rng, stay=0.10, skip=0.04, noise_sd=0.6,
+                  anchor_stride=None):
     """Simulate an event sequence from the pore model walking the target's
     k-mers with stay/skip moves (the threeState generative process), plus
-    guide-like anchors subsampled from the true path."""
+    guide-like anchors subsampled from the true path (``anchor_stride``
+    events apart; a bwa/lastz guide alignment anchors every few tens of
+    bases in practice)."""
     from cpecan_signal_tpu.core.kmers import sequence_kmer_ranks
 
     ranks = sequence_kmer_ranks(target)
@@ -169,8 +172,9 @@ def simulate_read(pore, target, rng, stay=0.10, skip=0.04, noise_sd=0.6):
         if u > 1.0 - skip:
             k += 1                         # skip a kmer
     events = np.asarray(events, dtype=np.float64)
+    stride = anchor_stride or max(len(path) // 40, 1)
     anchors = []
-    for (x, y) in path[:: max(len(path) // 40, 1)]:
+    for (x, y) in path[::stride]:
         if x < len(ranks) and y < len(events):
             anchors.append((x, y))
     from cpecan_signal_tpu.core.anchors import filter_to_remove_overlap
@@ -178,8 +182,13 @@ def simulate_read(pore, target, rng, stay=0.10, skip=0.04, noise_sd=0.6):
     return events, anchors
 
 
-def build_read_set(raw):
-    """2 real fixture strands + 8 synthetic reads of varied length/identity."""
+N_READS = int(os.environ.get("BENCH_READS", "50"))
+LONG_READ_BASES = int(os.environ.get("BENCH_LONG_READ", "50000"))
+
+
+def build_read_set(raw, n_reads=N_READS):
+    """2 real fixture strands + synthetic reads of varied length/identity
+    (>= 50 by default, lengths 300-2500 bases, 1-15% substitutions)."""
     from cpecan_signal_tpu.io.fasta import read_first_sequence
 
     reads = []
@@ -193,15 +202,38 @@ def build_read_set(raw):
     _, ref_seq = read_first_sequence(REF)
     rng = np.random.default_rng(42)
     tpore = reads[0][0]
-    specs = [(600, 0.02, 0.01), (900, 0.05, 0.02), (400, 0.10, 0.04),
-             (1200, 0.03, 0.015), (700, 0.08, 0.03), (500, 0.15, 0.05),
-             (1000, 0.01, 0.005), (800, 0.06, 0.02)]
-    for n_bases, sub, indel in specs:
+    while len(reads) < n_reads:
+        n_bases = int(rng.integers(300, 2500))
+        sub = float(rng.uniform(0.01, 0.15))
+        indel = float(rng.uniform(0.005, 0.05))
         lo = int(rng.integers(0, max(len(ref_seq) - n_bases - 1, 1)))
         target = evolve_sequence(ref_seq[lo:lo + n_bases], rng, sub, indel)
         events, anchors = simulate_read(tpore, target, rng)
         reads.append((tpore, target, events, anchors))
     return reads
+
+
+def build_long_read(raw, n_bases=LONG_READ_BASES):
+    """A >= 50 kb read (evolved ZymoRef concatenation + simulated events +
+    dense guide anchors) exercising the full split -> bucket -> device path
+    (reference scaling mechanisms: splits > 3000x3000,
+    pairwiseAligner.c:1289-1422)."""
+    from cpecan_signal_tpu.io.fasta import read_first_sequence
+
+    _, ref_seq = read_first_sequence(REF)
+    rng = np.random.default_rng(7)
+    tpore = next(p for (p, *_r) in raw)
+    parts = []
+    total = 0
+    while total < n_bases:
+        seg = evolve_sequence(ref_seq, rng, 0.04, 0.02)
+        parts.append(seg)
+        total += len(seg)
+    target = "".join(parts)[:n_bases]
+    # dense guide anchors (every ~40 events ~ 30 bases, the density a real
+    # bwa/lastz guide provides): the area-split rule alone governs splitting
+    events, anchors = simulate_read(tpore, target, rng, anchor_stride=40)
+    return tpore, target, events, anchors
 
 
 GIBBS_SNIPPET = r"""
@@ -288,9 +320,9 @@ def main():
     # gap of min-dim G forces window width ~G + 2*expansion + 1 for the whole
     # problem; splitting the gap middle caps W, at the cost of not aligning
     # the unanchored middle — which the reference leaves low-confidence) ---
-    pieces_of = []   # per distinct problem: list of (pore, target, events, wband, n_events)
+    pieces_of = []   # per distinct problem: (pore, target, events, wband, n_events, anchors, model_path, sp)
     cov_ev = tot_ev = 0
-    for (pore, target, events, anchors, band, n, _m, _s) in raw:
+    for (pore, target, events, anchors, band, n, mpath, sp) in raw:
         lx = len(target) - KMER_LENGTH + 1
         sps = get_split_points(anchors, lx, len(events),
                                params.split_matrix_bigger_than_this,
@@ -302,7 +334,8 @@ def main():
             sub_a = anchors_in_window(anchors, x1, y1, x2, y2)
             b = band_construct(sub_a, x2 - x1, y2 - y1,
                                params.diagonal_expansion)
-            pieces.append((pore, sub_t, sub_e, smooth_band(b, 128), y2 - y1))
+            pieces.append((pore, sub_t, sub_e, smooth_band(b, 128), y2 - y1,
+                           sub_a, mpath, sp))
         pieces_of.append(pieces)
         cov_ev += sum(p[4] for p in pieces)
         tot_ev += n
@@ -311,14 +344,14 @@ def main():
         f"{cov_ev}/{tot_ev} events ({100.0*cov_ev/tot_ev:.1f}%)")
 
     instances = [i % len(raw) for i in range(BATCH)]
-    ev_total = sum(cov for i in instances
-                   for *_x, cov in pieces_of[i])
+    ev_total = sum(p[4] for i in instances for p in pieces_of[i])
 
     # --- bucket pieces by (window width, padded diagonal count) so neither
     # lane padding nor diagonal padding is paid across dissimilar pieces ---
     buckets = {}  # (W, Dp_bucket) -> list of (prob_idx, piece_idx)
     for i in instances:
-        for j, (_pore, _t, _e, wb, _cov) in enumerate(pieces_of[i]):
+        for j, piece in enumerate(pieces_of[i]):
+            wb = piece[3]
             key = (wb.W, -(-(wb.n_diagonals + 2) // 256) * 256)
             buckets.setdefault(key, []).append((i, j))
     for key, ids in buckets.items():
@@ -337,7 +370,7 @@ def main():
         probs = {}
         plan = None
         for i, j in uniq:
-            pore, target, events, wb, _cov = pieces_of[i][j]
+            pore, target, events, wb, _cov, *_rest = pieces_of[i][j]
             plan, probs[(i, j)] = pp.make_sm3_pallas_problem(
                 pore, target, events, wb, pad_lx=lxp, pad_ly=lyp, pad_d=Dp)
         batch = pp.stack_problems([probs[t] for t in ids])
@@ -397,7 +430,7 @@ def main():
         probs = {}
         vplan = None
         for i, j in uniq:
-            pore, target, events, wb, _cov = pieces_of[i][j]
+            pore, target, events, wb, _cov, *_rest = pieces_of[i][j]
             model_path = raw[i][6]
             strand = "complement" if "complement" in model_path else "template"
             sm = make_signal_vanilla(pore, target, events, strand=strand)
@@ -441,45 +474,96 @@ def main():
     from cpecan_signal_tpu.models.state_machines import make_signal_sm3
     align_params = params.with_(max_gap_min_dim=max_gap)
 
-    def run_reads():
+    def run_reads(read_list, timing=None):
         all_jobs = []
-        for pore, target, events, anchors in reads:
+        for pore, target, events, anchors in read_list:
             mk = lambda t, e, _p=pore: make_signal_sm3(_p, t, e)
             all_jobs.extend(collect_split_jobs(mk, target, events, anchors,
                                                align_params))
-        pairs = batch_align_jobs(all_jobs, params.threshold)
+        pairs = batch_align_jobs(all_jobs, params.threshold, timing=timing)
         return sum(len(p.probs) for p in pairs)
 
-    n_pairs = run_reads()   # warm (compile)
-    rtimes = []
+    n_pairs = run_reads(reads)   # warm (compile)
+    rtimes, breakdown = [], {}
     for _i in range(ITERS):
+        tm = {}
         t0 = time.perf_counter()
-        n_pairs = run_reads()
-        rtimes.append(time.perf_counter() - t0)
+        n_pairs = run_reads(reads, timing=tm)
+        el = time.perf_counter() - t0
+        rtimes.append(el)
+        if not breakdown or el < breakdown["total"]:
+            breakdown = dict(tm, total=el)
     rdt = min(rtimes)
+    other = breakdown["total"] - sum(breakdown.get(k, 0.0) for k in
+                                     ("host_pack", "device_wait",
+                                      "host_extract"))
     log(f"bench - end-to-end CLI path: {len(reads)} reads in {rdt*1000:.0f} ms "
         f"({len(reads)/rdt:.1f} reads/s/chip, {n_ev_reads/rdt:,.0f} ev/s "
         f"incl. host prep + tunnel dispatch; {n_pairs} aligned pairs)")
+    log(f"bench - end-to-end breakdown: host pack+dispatch "
+        f"{breakdown.get('host_pack', 0)*1000:.0f} ms, device wait "
+        f"{breakdown.get('device_wait', 0)*1000:.0f} ms, host extract "
+        f"{breakdown.get('host_extract', 0)*1000:.0f} ms, split/band prep "
+        f"{other*1000:.0f} ms")
+
+    # --- long-read scale proof: >= 50 kb through split -> bucket -> device ---
+    if LONG_READ_BASES:
+        lr = build_long_read(raw)
+        jobs_lr = collect_split_jobs(
+            lambda t, e, _p=lr[0]: make_signal_sm3(_p, t, e),
+            lr[1], lr[2], lr[3], align_params)
+        _ = run_reads([(lr[0], lr[1], lr[2], lr[3])])   # warm (compile)
+        lt = []
+        for _i in range(max(ITERS // 2, 1)):
+            t0 = time.perf_counter()
+            n_lr = run_reads([(lr[0], lr[1], lr[2], lr[3])])
+            lt.append(time.perf_counter() - t0)
+        ldt = min(lt)
+        log(f"bench - long read: {len(lr[1])} bases, {len(lr[2])} events, "
+            f"{len(jobs_lr)} split jobs, aligned in {ldt*1000:.0f} ms "
+            f"({len(lr[2])/ldt:,.0f} ev/s, {n_lr} pairs)")
 
     if os.environ.get("BENCH_GIBBS", "1") != "0":
         gibbs_throughput()
 
-    # --- single-core reference engine on identical (unsplit) inputs ---
+    # --- single-core reference engine, two honest comparisons ---
+    # (a) identical UNSPLIT problems (the reference pays for the unanchored
+    #     gap middles the width-split drops — reported with the coverage %);
+    # (b) the SAME width-split pieces the pipeline times (identical work).
     secs = reference_engine_seconds(raw, params)
-    vs = None
+    vs = vs_split = None
     if secs is not None:
         ref_total = sum(secs[i] for i in instances)
         ref_ev = sum(raw[i][5] for i in instances)
         vs = ref_total / dt   # same 128-instance mix, wall-clock vs wall-clock
-        log(f"bench - reference engine: {ref_total:.2f} s for the same "
-            f"{BATCH}-instance mix ({ref_ev / ref_total:,.0f} ev/s "
-            f"single-core) -> {vs:.2f}x")
+        log(f"bench - reference engine, unsplit problems: {ref_total:.2f} s "
+            f"for the same {BATCH}-instance mix ({ref_ev/ref_total:,.0f} ev/s "
+            f"single-core) -> {vs:.2f}x (pipeline covers {100.0*cov_ev/tot_ev:.1f}% "
+            f"of events; the reference also pays for the dropped gap middles)")
+        piece_problems = []
+        for i in set(instances):
+            for (pore, sub_t, sub_e, _wb, _cov, sub_a, mpath, sp) in pieces_of[i]:
+                piece_problems.append((pore, sub_t, sub_e, sub_a, None,
+                                       len(sub_e), mpath, sp))
+        psecs = reference_engine_seconds(piece_problems, params)
+        if psecs is not None:
+            per_problem = {}
+            k = 0
+            for i in set(instances):
+                per_problem[i] = sum(psecs[k:k + len(pieces_of[i])])
+                k += len(pieces_of[i])
+            ref_split_total = sum(per_problem[i] for i in instances)
+            vs_split = ref_split_total / dt
+            log(f"bench - reference engine, SAME split pieces (identical "
+                f"work, apples-to-apples): {ref_split_total:.2f} s -> "
+                f"{vs_split:.2f}x")
 
     print(json.dumps({
         "metric": "banded_fb_events_per_sec_per_chip",
         "value": round(events_per_sec, 1),
         "unit": "events/s",
-        "vs_baseline": round(vs, 2) if vs else None,
+        "vs_baseline": round(vs_split, 2) if vs_split else
+                       (round(vs, 2) if vs else None),
     }))
 
 

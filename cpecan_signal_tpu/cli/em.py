@@ -2,20 +2,31 @@
 
 The reference fans ≤1 Mb alignment chunks out as jobTree targets running
 cPecanRealign --outputExpectations, with a follow-on merge + normalize
-(cPecanEm.py:107-242).  Here the same structure runs as chunked batches in
-process (the scheduler role is played by the chunk loop; multi-host scale-out
-goes through parallel/mesh instead of a cluster DAG), with random-restart
-trials selecting the maximum-likelihood model.
+(cPecanEm.py:107-242).  Here the chunks ARE the distribution unit:
 
-Also provides the Hmm utility surface (randomise / equalise / Jukes-Cantor
-init / tied emissions, cPecanEm.py:19-105) on DiscreteHmm, and the lastz
-scoring-matrix export (makeBlastScoringMatrix, cPecanEm.py:301-359).
+  * E-step engine "pallas" stacks every chunk record's split jobs into
+    generic window Pallas batches (em/discrete_pallas.py) so the chip
+    carries the fiveState recursion + EM tallies; engine "host" runs the
+    f64 scan per record; "auto" picks pallas off-CPU.
+  * Multi-host: SIGALIGN_COORDINATOR brings up jax.distributed (exactly as
+    in signal_align / train_models); chunks are partitioned round-robin by
+    index, each host computes its chunks' tallies, and a per-chunk
+    all-reduce (each chunk's row owned by exactly one host) followed by an
+    in-order sum reproduces the single-process accumulator BITWISE — the
+    reference's jobTree follow-on merge (cPecanEm.py:182-209) with a DCN
+    all-reduce instead of expectation files.
+
+Random-restart trials select the maximum-likelihood model.  Also provides
+the Hmm utility surface (randomise / equalise / Jukes-Cantor init / tied
+emissions, cPecanEm.py:19-105) on DiscreteHmm, and the lastz scoring-matrix
+export (makeBlastScoringMatrix, cPecanEm.py:301-359).
 """
 
 from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 from itertools import product
 
@@ -62,6 +73,68 @@ def chunk_alignments(records: list[CigarRecord], max_bases: int = 1_000_000
     return [c for c in chunks if c]
 
 
+def _chunk_tallies_host(chunk, seqs, params, hmm):
+    """Host f64 E-step over one chunk's records (the cPecanRealign
+    --outputExpectations worker, cPecanRealign.c:584-588)."""
+    from .realign import realign_record
+
+    acc = DiscreteHmm.empty(5, SYMBOL_NUMBER, pseudocount=0.0)
+    for rec in chunk:
+        realign_record(rec, seqs, params, hmm=hmm, expectations=acc)
+    return acc
+
+
+def _chunk_tallies_pallas(chunk, seqs, params, hmm):
+    """Device-batched E-step over one chunk: every record's split jobs in one
+    set of window Pallas batches; per-job tallies summed in job order so the
+    result is independent of bucketing (em/discrete_pallas.py)."""
+    from ..em.discrete_pallas import (collect_symbol_split_jobs,
+                                      discrete_expectations_batched)
+    from .realign import stage_record_head
+
+    acc = DiscreteHmm.empty(5, SYMBOL_NUMBER, pseudocount=0.0)
+    jobs = []
+    for rec in chunk:
+        sub_x, sub_y, _aall, anchors, make_sm = stage_record_head(
+            rec, seqs, params, hmm)
+        jobs.extend(collect_symbol_split_jobs(make_sm, sub_x, sub_y, anchors,
+                                              params, ragged_left=True,
+                                              ragged_right=True))
+    for trans, emiss, lik in discrete_expectations_batched(jobs):
+        acc.transitions += trans
+        acc.emissions += emiss
+        acc.likelihood += lik
+    return acc
+
+
+def _estep_all_chunks(trial_chunks, seqs, params, hmm, engine, dist_run):
+    """Full E-step: per-chunk tallies (locally for this host's chunks), then
+    a per-chunk all-reduce + in-order sum — bitwise identical to the
+    single-process accumulator for any process count."""
+    S, n = 5, SYMBOL_NUMBER
+    sz = S * S + S * n * n + 1
+    table = np.zeros((len(trial_chunks), sz))
+    if dist_run:
+        import jax
+        my = range(jax.process_index(), len(trial_chunks), jax.process_count())
+    else:
+        my = range(len(trial_chunks))
+    fn = _chunk_tallies_pallas if engine == "pallas" else _chunk_tallies_host
+    for ci in my:
+        a = fn(trial_chunks[ci], seqs, params, hmm)
+        table[ci] = np.concatenate([a.transitions.ravel(),
+                                    a.emissions.ravel(), [a.likelihood]])
+    if dist_run:
+        from ..parallel.distributed import allreduce_sum
+        (table,) = allreduce_sum(table)
+    acc = DiscreteHmm.empty(S, n, pseudocount=1e-12)
+    for row in table:       # fixed chunk order -> deterministic fp sum
+        acc.transitions += row[:S * S].reshape(S, S)
+        acc.emissions += row[S * S:S * S + S * n * n].reshape(S, n, n)
+        acc.likelihood += float(row[-1])
+    return acc
+
+
 def expectation_maximisation(alignment_file: str, fasta_files: list[str],
                              output_model: str, iterations: int = 10,
                              trials: int = 1, max_bases_per_chunk: int = 1_000_000,
@@ -69,18 +142,29 @@ def expectation_maximisation(alignment_file: str, fasta_files: list[str],
                              tie_emission_params: bool = False,
                              params: AlignmentParams | None = None,
                              update_band: bool = False, seed: int = 0,
-                             log=print) -> DiscreteHmm:
+                             engine: str = "auto", log=print) -> DiscreteHmm:
     """Random-restart EM over a cigar alignment set; returns (and writes) the
     maximum-likelihood model (expectationMaximisation + ...Trials,
-    cPecanEm.py:107-242)."""
+    cPecanEm.py:107-242).  engine: "host" (f64 scan), "pallas" (device
+    batches), or "auto" (pallas off-CPU)."""
     from .realign import load_sequences, realign_record
+
+    dist_run = os.environ.get("SIGALIGN_COORDINATOR") is not None
+    if dist_run:
+        from ..parallel import distributed
+        if not distributed.is_initialized():
+            distributed.initialize()   # must precede any backend-touching call
+    if engine == "auto":
+        import jax
+        engine = "host" if jax.default_backend() == "cpu" else "pallas"
 
     params = params or AlignmentParams()
     seqs = load_sequences(fasta_files)
     with open(alignment_file) as fh:
         records = list(read_cigars(fh))
     chunks = chunk_alignments(records, max_bases_per_chunk)
-    log(f"em - {len(records)} alignments in {len(chunks)} chunks")
+    log(f"em - {len(records)} alignments in {len(chunks)} chunks "
+        f"(engine {engine})")
 
     rng = np.random.default_rng(seed)
     best: DiscreteHmm | None = None
@@ -92,11 +176,8 @@ def expectation_maximisation(alignment_file: str, fasta_files: list[str],
         running = []
         trial_records, trial_chunks = records, chunks
         for it in range(iterations):
-            acc = DiscreteHmm.empty(5, SYMBOL_NUMBER, pseudocount=1e-12)
-            for chunk in trial_chunks:
-                for rec in chunk:
-                    realign_record(rec, seqs, params, hmm=hmm,
-                                   expectations=acc)
+            acc = _estep_all_chunks(trial_chunks, seqs, params, hmm, engine,
+                                    dist_run)
             acc.normalize()
             if tie_emission_params:
                 tie_emissions(acc)
@@ -106,7 +187,9 @@ def expectation_maximisation(alignment_file: str, fasta_files: list[str],
             if update_band and it < iterations - 1:
                 # re-banding step (calculateAlignments, cPecanEm.py:212-242):
                 # realign with the new model so the next E-step's guide
-                # alignments (anchors/bands) track the improving model
+                # alignments (anchors/bands) track the improving model.
+                # Under multi-host this runs identically on every host
+                # (deterministic, comm-free) so chunk lists stay in sync.
                 new_records = []
                 for rec in trial_records:
                     out = realign_record(rec, seqs, params, hmm=hmm)
@@ -119,7 +202,8 @@ def expectation_maximisation(alignment_file: str, fasta_files: list[str],
         hmm.running_likelihoods = running
         if best is None or hmm.likelihood > best.likelihood:
             best = hmm
-    best.write(output_model)
+    if not dist_run or __import__("jax").process_index() == 0:
+        best.write(output_model)
     return best
 
 
@@ -182,6 +266,11 @@ def main(argv=None):
     ap.add_argument("--setJukesCantorStartingEmissions", type=float, default=None)
     ap.add_argument("--tieEmissions", action="store_true")
     ap.add_argument("--blastScoringMatrixFile", default=None)
+    ap.add_argument("--engine", choices=("auto", "host", "pallas"),
+                    default="auto",
+                    help="E-step engine: host f64 scan per record, or each "
+                         "chunk's records batched on device (pallas); auto "
+                         "picks pallas off-CPU")
     args = ap.parse_args(argv)
 
     hmm = expectation_maximisation(
@@ -189,7 +278,7 @@ def main(argv=None):
         iterations=args.iterations, trials=args.trials,
         max_bases_per_chunk=args.maxAlignmentLengthPerJob,
         set_jukes_cantor_divergence=args.setJukesCantorStartingEmissions,
-        tie_emission_params=args.tieEmissions)
+        tie_emission_params=args.tieEmissions, engine=args.engine)
     if args.blastScoringMatrixFile:
         from .realign import load_sequences
         seqs = list(load_sequences(args.fastas).values())

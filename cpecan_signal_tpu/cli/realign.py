@@ -131,13 +131,11 @@ def _sm5_from_hmm_asymmetric(hmm: DiscreteHmm):
     return make_symbol_sm5(trans, match4, gapx4, gapy4)
 
 
-def realign_record(rec: CigarRecord, seqs: dict[str, str],
-                   params: AlignmentParams, hmm: DiscreteHmm | None = None,
-                   match_gamma: float = 0.0, rescore: str | None = None,
-                   rescore_original: bool = False,
-                   split_indels_longer_than: int = -1,
-                   expectations: DiscreteHmm | None = None
-                   ) -> list[CigarRecord] | None:
+def stage_record_head(rec: CigarRecord, seqs: dict[str, str],
+                      params: AlignmentParams, hmm: DiscreteHmm | None):
+    """realign_record's input prep: rebase to forward strand, CIGAR ->
+    anchors, mismatch filter (cPecanRealign.c:556-583).  Returns
+    (sub_x, sub_y, anchors_all, filtered_anchors, make_sm)."""
     seq_x = seqs[rec.contig1]
     seq_y = seqs[rec.contig2]
     flip1, flip2 = not rec.strand1, not rec.strand2
@@ -167,14 +165,25 @@ def realign_record(rec: CigarRecord, seqs: dict[str, str],
         bind_symbol_sequences(sm, sx, sy)
         return sm
 
-    if expectations is not None:
-        acc = discrete_expectations(make_sm, sub_x, sub_y, anchors, params,
-                                    ragged_left=True, ragged_right=True)
-        expectations.add(acc)
-        return None
+    return sub_x, sub_y, anchors_all, anchors, make_sm
 
-    aligned = align_sequence_pair(make_sm, sub_x, sub_y, anchors, params,
-                                  ragged_left=True, ragged_right=True)
+
+def finish_record(rec: CigarRecord, aligned, sub_x: str, sub_y: str,
+                  anchors_all, params: AlignmentParams,
+                  rescore: str | None = None, rescore_original: bool = False,
+                  split_indels_longer_than: int = -1) -> list[CigarRecord]:
+    """realign_record's output stage: AMAP reweight + consistency filter,
+    rescoring, aligned-pairs -> CIGAR, coordinate restore
+    (cPecanRealign.c:591-645)."""
+    flip1, flip2 = not rec.strand1, not rec.strand2
+    shift1 = rec.start1 if rec.strand1 else rec.end1
+    shift2 = rec.start2 if rec.strand2 else rec.end2
+    s1, e1 = (rec.start1 - shift1, rec.end1 - shift1)
+    s2, e2 = (rec.start2 - shift2, rec.end2 - shift2)
+    if flip1:
+        s1, e1 = e1, s1
+    if flip2:
+        s2, e2 = e2, s2
     pairs = np.stack([aligned.probs, aligned.x, aligned.y], axis=1) \
         if len(aligned.probs) else np.zeros((0, 3), dtype=np.int64)
 
@@ -219,6 +228,69 @@ def realign_record(rec: CigarRecord, seqs: dict[str, str],
     return [out]
 
 
+def realign_record(rec: CigarRecord, seqs: dict[str, str],
+                   params: AlignmentParams, hmm: DiscreteHmm | None = None,
+                   match_gamma: float = 0.0, rescore: str | None = None,
+                   rescore_original: bool = False,
+                   split_indels_longer_than: int = -1,
+                   expectations: DiscreteHmm | None = None
+                   ) -> list[CigarRecord] | None:
+    """One CIGAR record through the host f64 engine (cPecanRealign.c:556-645
+    per-record loop): prep head -> banded FB (or E-step) -> output tail."""
+    sub_x, sub_y, anchors_all, anchors, make_sm = stage_record_head(
+        rec, seqs, params, hmm)
+
+    if expectations is not None:
+        acc = discrete_expectations(make_sm, sub_x, sub_y, anchors, params,
+                                    ragged_left=True, ragged_right=True)
+        expectations.add(acc)
+        return None
+
+    aligned = align_sequence_pair(make_sm, sub_x, sub_y, anchors, params,
+                                  ragged_left=True, ragged_right=True)
+    return finish_record(rec, aligned, sub_x, sub_y, anchors_all, params,
+                         rescore=rescore, rescore_original=rescore_original,
+                         split_indels_longer_than=split_indels_longer_than)
+
+
+def realign_records_batched(records: list[CigarRecord],
+                            seqs: dict[str, str], params: AlignmentParams,
+                            hmm: DiscreteHmm | None = None,
+                            rescore: str | None = None,
+                            rescore_original: bool = False,
+                            split_indels_longer_than: int = -1,
+                            interpret: bool | None = None
+                            ) -> list[list[CigarRecord]]:
+    """Many CIGAR records at once: every record's split jobs stacked into
+    device batches (engine.batch_align), then per-record output tails.  The
+    TPU replacement for the reference's serial while-cigarRead loop
+    (cPecanRealign.c:556-645)."""
+    from ..em.discrete_pallas import collect_symbol_split_jobs
+    from ..engine.batch_align import assemble_pairs, batch_align_jobs
+
+    heads = []
+    all_jobs = []
+    spans = []
+    for rec in records:
+        sub_x, sub_y, anchors_all, anchors, make_sm = stage_record_head(
+            rec, seqs, params, hmm)
+        jobs = collect_symbol_split_jobs(make_sm, sub_x, sub_y, anchors,
+                                         params, ragged_left=True,
+                                         ragged_right=True)
+        spans.append(slice(len(all_jobs), len(all_jobs) + len(jobs)))
+        all_jobs.extend(jobs)
+        heads.append((sub_x, sub_y, anchors_all))
+    frags = batch_align_jobs(all_jobs, params.threshold, interpret=interpret)
+    out = []
+    for rec, (sub_x, sub_y, anchors_all), span in zip(records, heads, spans):
+        aligned = assemble_pairs(frags[span])
+        out.append(finish_record(
+            rec, aligned, sub_x, sub_y, anchors_all, params, rescore=rescore,
+            rescore_original=rescore_original,
+            split_indels_longer_than=split_indels_longer_than))
+    return out
+
+
 def main(argv=None):
     from ..utils.platform import ensure_host_platform
     ensure_host_platform()
@@ -237,6 +309,11 @@ def main(argv=None):
     ap.add_argument("--rescoreByIdentityIgnoringGaps", action="store_true")
     ap.add_argument("--rescoreByPosteriorProb", action="store_true")
     ap.add_argument("--rescoreByPosteriorProbIgnoringGaps", action="store_true")
+    ap.add_argument("--engine", choices=("auto", "host", "pallas"),
+                    default="auto",
+                    help="DP engine: host f64 scan per record, or all "
+                         "records' split jobs batched on device (pallas); "
+                         "auto picks pallas off-CPU")
     args = ap.parse_args(argv)
 
     params = AlignmentParams(
@@ -256,17 +333,46 @@ def main(argv=None):
     elif args.rescoreByIdentityIgnoringGaps:
         rescore = "identity_ignoring_gaps"
 
+    engine = args.engine
+    if engine == "auto":
+        import jax
+        engine = "host" if jax.default_backend() == "cpu" else "pallas"
+
     expectations = DiscreteHmm.empty(pseudocount=1e-12) \
         if args.outputExpectations else None
-    for rec in read_cigars(sys.stdin):
-        out = realign_record(rec, seqs, params, hmm=hmm,
-                             match_gamma=args.matchGamma, rescore=rescore,
-                             rescore_original=args.rescoreOriginalAlignment,
-                             split_indels_longer_than=args.splitIndelsLongerThanThis,
-                             expectations=expectations)
-        if out:
-            for r in out:
-                print(r.to_line())
+    if engine == "pallas":
+        records = list(read_cigars(sys.stdin))
+        if expectations is not None:
+            from ..em.discrete_pallas import (collect_symbol_split_jobs,
+                                              discrete_expectations_batched)
+            jobs = []
+            for rec in records:
+                sub_x, sub_y, _aall, anchors, make_sm = stage_record_head(
+                    rec, seqs, params, hmm)
+                jobs.extend(collect_symbol_split_jobs(
+                    make_sm, sub_x, sub_y, anchors, params,
+                    ragged_left=True, ragged_right=True))
+            for trans, emiss, lik in discrete_expectations_batched(jobs):
+                expectations.transitions += trans
+                expectations.emissions += emiss
+                expectations.likelihood += lik
+        else:
+            for out in realign_records_batched(
+                    records, seqs, params, hmm=hmm, rescore=rescore,
+                    rescore_original=args.rescoreOriginalAlignment,
+                    split_indels_longer_than=args.splitIndelsLongerThanThis):
+                for r in out:
+                    print(r.to_line())
+    else:
+        for rec in read_cigars(sys.stdin):
+            out = realign_record(rec, seqs, params, hmm=hmm,
+                                 match_gamma=args.matchGamma, rescore=rescore,
+                                 rescore_original=args.rescoreOriginalAlignment,
+                                 split_indels_longer_than=args.splitIndelsLongerThanThis,
+                                 expectations=expectations)
+            if out:
+                for r in out:
+                    print(r.to_line())
     if expectations is not None:
         expectations.write(args.outputExpectations)
     return 0

@@ -2,11 +2,18 @@
 
 The CLIs collect SplitJobs (reads x strands x splits, engine/align.py), this
 module buckets them by (machine, window width), stacks each bucket into one
-WindowPallasProblem batch, runs forward + fused backward on device, and
-extracts threshold-passing aligned pairs per job on host — so `signal_align`
-/ `vanilla_align` drive the chip with real batches instead of per-strand
-serial scans (reference analogue: the per-read worker fan-out of
+device batch, runs forward + fused backward on device, and returns
+threshold-passing aligned pairs per job — so `signal_align` / `vanilla_align`
+drive the chip with real batches instead of per-strand serial scans
+(reference analogue: the per-read worker fan-out of
 scripts/signalAlign.py:103-146, re-cut at split granularity for the TPU).
+
+threeState jobs ride the device-packed fast route (engine/readpath.py):
+per-problem packing AND pair extraction run on device, the host ships only
+ranks/events/window geometry and reads back compacted pairs, and every
+bucket is dispatched before any result is awaited (one tunnel round trip for
+the whole read set).  Machines with per-cell transitions or table emissions
+(vanilla/echelon/HDP) use the generic host-packed window path.
 """
 
 from __future__ import annotations
@@ -16,10 +23,11 @@ from functools import lru_cache, partial
 import numpy as np
 
 from ..core.window import smooth_band
+from . import readpath
 from .align import AlignedPairs, SplitJob, _extract_pairs
 from .window import window_grids
 
-MAX_BUCKET = 64  # problems per device dispatch (bounds host memory for E)
+MAX_BUCKET = 64  # generic-path problems per device dispatch (bounds host E)
 
 
 @lru_cache(maxsize=64)
@@ -40,35 +48,16 @@ def _jit_sm3_runner(plan, W):
     return jax.jit(partial(pp.run_sm3_pallas, plan, W, stages=3))
 
 
-def batch_align_jobs(jobs: list[SplitJob], threshold: float, *,
-                     width_multiple: int = 128,
-                     interpret: bool | None = None) -> list[AlignedPairs]:
-    """Run every job's banded FB on device (bucketed + stacked) and return
-    per-job AlignedPairs (split-local coordinates already shifted by the
-    job's off_x/off_y).  interpret=None auto-selects interpret mode off the
-    default backend (CPU runs the Pallas kernels in interpret mode).
-
-    threeState jobs take the SM3 parameter-pack pipeline (emissions computed
-    on device from per-x/per-y packs, make_sm3_pallas_problem) — ~30x less
-    host packing + host->device traffic than the generic window path, which
-    builds the full (Dp, C, W) emission grid host-side.  Machines with
-    per-cell transitions or table emissions (vanilla/echelon/HDP) use the
-    generic path."""
-    import jax
+def _run_generic_buckets(jobs, wbands, idx_groups, threshold, interpret, out):
+    """Host-packed window path (vanilla/echelon/HDP machines and the rare
+    fast-path capacity overflow): pack + dispatch every bucket first (async),
+    then collect and extract."""
+    import jax  # noqa: F401  (jit runners)
 
     from . import pallas_pipeline as pp
 
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-
-    wbands = [smooth_band(j.band, width_multiple=width_multiple) for j in jobs]
-    groups: dict[tuple, list[int]] = {}
-    for i, (j, wb) in enumerate(zip(jobs, wbands)):
-        packable = hasattr(j.sm, "sm3_pack")
-        groups.setdefault((j.sm.spec.name, wb.W, packable), []).append(i)
-
-    out: list[AlignedPairs | None] = [None] * len(jobs)
-    for (_name, W, packable), idxs in groups.items():
+    pending = []
+    for (_name, W, packable), idxs in idx_groups.items():
         for lo in range(0, len(idxs), MAX_BUCKET):
             chunk = idxs[lo:lo + MAX_BUCKET]
             Dmax = max(wbands[i].n_diagonals for i in chunk)
@@ -108,14 +97,58 @@ def batch_align_jobs(jobs: list[SplitJob], threshold: float, *,
                 p, _tot = pp.run_window_pallas(plan, W, batch, interpret=True)
             else:
                 p, _tot = _jit_runner(plan, W)(batch)
-            p = np.asarray(p)
-            for bi, i in enumerate(chunk):
-                wb = wbands[i]
-                D = wb.n_diagonals
-                x, y, _valid = window_grids(wb)
-                pr, xs, ys = _extract_pairs(p[bi][:D], x, y, threshold,
-                                            jobs[i].off_x, jobs[i].off_y)
-                out[i] = AlignedPairs(pr, xs, ys)
+            pending.append((chunk, p))
+
+    for chunk, p in pending:
+        p = np.asarray(p)
+        for bi, i in enumerate(chunk):
+            wb = wbands[i]
+            D = wb.n_diagonals
+            x, y, _valid = window_grids(wb)
+            pr, xs, ys = _extract_pairs(p[bi][:D], x, y, threshold,
+                                        jobs[i].off_x, jobs[i].off_y)
+            out[i] = AlignedPairs(pr, xs, ys)
+
+
+def batch_align_jobs(jobs: list[SplitJob], threshold: float, *,
+                     width_multiple: int = 128,
+                     interpret: bool | None = None,
+                     timing: dict | None = None) -> list[AlignedPairs]:
+    """Run every job's banded FB on device (bucketed + stacked) and return
+    per-job AlignedPairs (split-local coordinates already shifted by the
+    job's off_x/off_y).  interpret=None auto-selects interpret mode off the
+    default backend (CPU runs the Pallas kernels in interpret mode)."""
+    import jax
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    wbands = [smooth_band(j.band, width_multiple=width_multiple) for j in jobs]
+    out: list[AlignedPairs | None] = [None] * len(jobs)
+
+    # --- fast path: device-packed threeState jobs, fully async ---
+    staged = []
+    generic: dict[tuple, list[int]] = {}
+    for i, (j, wb) in enumerate(zip(jobs, wbands)):
+        st = readpath.stage_fast_job(j, wb)
+        if st is not None:
+            fj, plan = st
+            staged.append((i, fj, plan))
+        else:
+            generic.setdefault((j.sm.spec.name, wb.W, False), []).append(i)
+    if staged:
+        fast = readpath.run_fast_jobs(staged, threshold, interpret=interpret,
+                                      timing=timing)
+        for ji, pairs in fast.items():
+            if pairs is None:
+                # capacity overflow: re-route through the full-grid path
+                generic.setdefault((jobs[ji].sm.spec.name, wbands[ji].W,
+                                    True), []).append(ji)
+            else:
+                out[ji] = pairs
+
+    if generic:
+        _run_generic_buckets(jobs, wbands, generic, threshold, interpret, out)
     return out  # type: ignore[return-value]
 
 

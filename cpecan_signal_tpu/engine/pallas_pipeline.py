@@ -317,24 +317,27 @@ def make_window_pallas_problem(sm, wband: WindowBand, *, ragged_left=True,
 def run_window_pallas(plan: fb.EnginePlan, W: int, batch: WindowPallasProblem,
                       Bt: int | None = None, stages: int = 3,
                       interpret: bool = False,
-                      wgroups: tuple[tuple[int, ...], ...] | None = None):
+                      wgroups: tuple[tuple[int, ...], ...] | None = None,
+                      pgroups: tuple[tuple[int, ...], ...] | None = None):
     """Forward -> fused backward on a stacked WindowPallasProblem batch.
     Returns (p (B, Dp, W) posterior match probs, totals (B, Dp)) for
     stages <= 3; with stages=4 additionally (exits (B, Dp, G), gacc
     (B, G, W), stats (B, 128)) — the generic EM tallies, with ``wgroups``
     selecting the per-x windowed posterior groups (see
-    ops/pallas_fb.backward_sm3)."""
+    ops/pallas_fb.backward_sm3).  With ``pgroups`` the p output instead
+    carries per-edge-group posterior channels (B, Dp, P, W)."""
     F = pk.forward_sm3(plan, batch.E, batch.diag_scalars, batch.d_last,
                        batch.start, batch.tp_scalar, Bt=Bt, kd=pk.KD,
                        interpret=interpret)
     p, totals, exits, gacc, stats = pk.backward_sm3(
         plan, batch.E, F, batch.diag_scalars, batch.d_last, batch.end,
         batch.tp_scalar, Bt=Bt, kd=pk.KD, stages=stages, interpret=interpret,
-        wgroups=wgroups)
+        wgroups=wgroups, pgroups=pgroups)
+    p_out = p if pgroups is not None else p[:, :, 0, :]
     if stages >= 4:
-        return (p[:, :, 0, :], totals[:, :, 0, 0], exits[:, :, 0, :],
+        return (p_out, totals[:, :, 0, 0], exits[:, :, 0, :],
                 gacc, stats[:, 0, :])
-    return p[:, :, 0, :], totals[:, :, 0, 0]
+    return p_out, totals[:, :, 0, 0]
 
 
 def sm3_pallas_expectations(plan: fb.EnginePlan, W: int,

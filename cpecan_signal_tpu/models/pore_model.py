@@ -82,6 +82,12 @@ def scale_model(model: PoreModel, scale: float, shift: float, var: float,
     with np.errstate(divide="ignore", invalid="ignore"):
         sd = np.sqrt(m[:k, NOISE_MEAN] ** 3 / m[:k, NOISE_LAMBDA])
     m[:k, NOISE_SD] = np.nan_to_num(sd, nan=0.0, posinf=0.0)
+    # provenance for the device-packed read path (engine/readpath): a scaled
+    # model that remembers (base, scale params) lets the per-read scaling run
+    # on device from ONE shared base-table upload.  Not recorded for
+    # noise_only or re-scaled models — those fall back to per-model upload.
+    if not noise_only and not hasattr(model, "scale_provenance"):
+        out.scale_provenance = (model, (scale, shift, var, scale_sd, var_sd))
     return out
 
 

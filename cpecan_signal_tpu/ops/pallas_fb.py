@@ -356,7 +356,7 @@ def _lse_rows(v):
     return jnp.where(m <= NEG_INF, NEG_INF, out)
 
 
-def _backward_kernel(plan, Bt, W, Dp, kd, stages, wgroups,
+def _backward_kernel(plan, Bt, W, Dp, kd, stages, wgroups, pgroups,
                      Eb0_ref, Eb1_ref, Fp0_ref, Fp1_ref,
                      dsb0_ref, dsb1_ref, dlast_ref, end_ref, tps_ref,
                      p_ref, tot_ref, exit_ref, gacc_ref, stats_ref,
@@ -455,7 +455,9 @@ def _backward_kernel(plan, Bt, W, Dp, kd, stages, wgroups,
             tot_ref[:, j0, 0, :] = total
 
         # --- posterior match probabilities ---
-        if stages >= 3:
+        if pgroups is not None:
+            pass       # p_ref written from the per-edge posteriors below
+        elif stages >= 3:
             m = plan.match_state
             x_pos = xmy > -d   # x > 0
             y_pos = xmy < d    # y > 0
@@ -485,6 +487,8 @@ def _backward_kernel(plan, Bt, W, Dp, kd, stages, wgroups,
             em_ok = (valid[:, 0, :]) & (d >= 1)
             add = jnp.zeros((Bt, 128), jnp.float32)
             pg = [jnp.zeros((Bt, W), jnp.float32) for _g in range(G)]
+            pch = ([jnp.zeros((Bt, W), jnp.float32) for _c in pgroups]
+                   if pgroups is not None else None)
             for ei, e in enumerate(plan.edges):
                 logp = (srcs[e.src][:, e.frm, :] + cur[:, e.to, :]
                         + _esum(plan, E_d, e) + tp_of(e) - total)
@@ -494,6 +498,16 @@ def _backward_kernel(plan, Bt, W, Dp, kd, stages, wgroups,
                 for g, members in enumerate(wgroups):
                     if ei in members:
                         pg[g] = pg[g] + pe
+                if pgroups is not None:
+                    for c, members in enumerate(pgroups):
+                        if ei in members:
+                            pch[c] = pch[c] + pe
+            if pgroups is not None:
+                # per-edge-group posterior channels (discrete emission
+                # tallies / HDP assignment masks ride these instead of the
+                # match-state posterior)
+                for c in range(len(pgroups)):
+                    p_ref[:, j0, c] = pch[c]
             lik_d = jnp.where((d >= 1) & (d <= dlast[:, :, 0]), total, 0.0)
             add = add + jnp.where(stats_lane == LIK_LANE, lik_d, 0.0)
             stats_acc[...] += add
@@ -524,7 +538,8 @@ def _backward_kernel(plan, Bt, W, Dp, kd, stages, wgroups,
 def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
                  tp_scalar, Bt: int | None = None, kd: int = 8,
                  stages: int = 4, interpret: bool = False,
-                 wgroups: tuple[tuple[int, ...], ...] | None = None):
+                 wgroups: tuple[tuple[int, ...], ...] | None = None,
+                 pgroups: tuple[tuple[int, ...], ...] | None = None):
     """Fused backward pass over kd-diagonal blocks.  ``Fpad`` is the forward
     kernel's output (B, Dp + kd, S, W) with a kd-row NEG_INF halo in front;
     E must have >= Dp + kd rows with rows >= Dp zero.  Returns
@@ -537,18 +552,27 @@ def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
     exits[d, g] carries group g's posterior mass for x = x0[d] + W - 1 where
     DS_XS[d] == 1 (else 0); gacc[g] lane j the remaining mass for
     x = x0[0] + j.  ``stages`` gates debug subsets (1 = bare recursion,
-    2 = +totals, 3 = +posteriors, 4 = +EM tallies)."""
+    2 = +totals, 3 = +posteriors, 4 = +EM tallies).
+
+    ``pgroups`` (stages >= 4 only) redefines the p output: instead of the
+    match-state posterior, channel c of p carries the SUM of the per-edge
+    posteriors of edge-index group pgroups[c] (the cell_updateExpectations
+    edge posteriors, pairwiseAligner.c:407-424) — per-to-state groups give
+    the discrete emission tallies, per-middle-edge-into-match groups the HDP
+    assignment masks (pairwiseAligner.c:445-476)."""
     Bn, _De, C, W = E.shape
     Dp = diag_scalars.shape[1] - 1
     S = plan.n_states
     assert Dp % kd == 0, (Dp, kd)
     assert _De >= Dp + kd and Fpad.shape[1] == Dp + kd
+    assert pgroups is None or stages >= 4
     if wgroups is None:
         wgroups = (tuple(ei for ei, e in enumerate(plan.edges)
                          if e.to == SHORT_GAP_X),)
     G = len(wgroups)
+    P = 1 if pgroups is None else len(pgroups)
     nb_d = Dp // kd
-    Bt = _pick_bt(Bn, W, Bt, kd, rows=C + 3 * S + 2 + (G - 1))
+    Bt = _pick_bt(Bn, W, Bt, kd, rows=C + 3 * S + 2 + (G - 1) + (P - 1))
     nb = Bn // Bt
 
     def eblk(off):
@@ -573,7 +597,7 @@ def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
                      memory_space=pltpu.VMEM),
     ]
     out_specs = (
-        pl.BlockSpec((Bt, kd, 1, W), eblk(0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, kd, P, W), eblk(0), memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, kd, 1, 1), eblk(0), memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, kd, 1, G), eblk(0), memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, G, W), lambda b, t: (b, 0, 0),
@@ -582,14 +606,15 @@ def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
                      memory_space=pltpu.VMEM),
     )
     out_shape = (
-        jax.ShapeDtypeStruct((Bn, Dp, 1, W), jnp.float32),
+        jax.ShapeDtypeStruct((Bn, Dp, P, W), jnp.float32),
         jax.ShapeDtypeStruct((Bn, Dp, 1, 1), jnp.float32),
         jax.ShapeDtypeStruct((Bn, Dp, 1, G), jnp.float32),
         jax.ShapeDtypeStruct((Bn, G, W), jnp.float32),
         jax.ShapeDtypeStruct((Bn, 1, 128), jnp.float32),
     )
     return pl.pallas_call(
-        partial(_backward_kernel, plan, Bt, W, Dp, kd, stages, wgroups),
+        partial(_backward_kernel, plan, Bt, W, Dp, kd, stages, wgroups,
+                pgroups),
         grid=(nb, nb_d),
         in_specs=in_specs,
         out_specs=out_specs,

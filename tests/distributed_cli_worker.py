@@ -30,6 +30,8 @@ def main():
         from cpecan_signal_tpu.cli.signal_align import main as cli_main
     elif CLI == "train_models":
         from cpecan_signal_tpu.cli.train_models import main as cli_main
+    elif CLI == "em":
+        from cpecan_signal_tpu.cli.em import main as cli_main
     else:
         raise SystemExit(f"unknown cli {CLI}")
     return cli_main(REST)

@@ -189,3 +189,80 @@ def test_two_process_train_models_cli_matches_single(tmp_path):
 
     for name in ("template_trained.hmm", "complement_trained.hmm"):
         assert (out1 / name).read_text() == (out2 / name).read_text(), name
+
+
+@pytest.mark.slow
+def test_two_process_em_cli_matches_single(tmp_path):
+    """The real nucleotide-EM CLI (cPecanEm equivalent) across 2
+    jax.distributed processes: chunks partitioned per host, per-chunk
+    tallies all-reduced and summed in chunk order — the output model file is
+    byte-identical to the single-process run (VERDICT r3 item 5; ref
+    cPecanEm.py:404-426 jobTree fan-out + follow-on merge)."""
+    import numpy as np
+
+    from cpecan_signal_tpu.anchor.seed_chain import get_anchor_pairs
+    from cpecan_signal_tpu.core.amap import pairs_to_cigar_ops
+    from cpecan_signal_tpu.io.cigar import CigarRecord
+    from cpecan_signal_tpu.io.fasta import write_fasta
+
+    rng = np.random.default_rng(17)
+    recs, seqs = [], []
+    for i in range(4):
+        sx = "".join(rng.choice(list("ACGT"), 150))
+        sy = "".join((c if rng.random() > 0.08 else rng.choice(list("ACGT")))
+                     for c in sx if rng.random() > 0.02)
+        seqs += [(f"x{i}", sx), (f"y{i}", sy)]
+        anchors = get_anchor_pairs(sx, sy, k=8)
+        pairs = np.concatenate([np.ones((len(anchors), 1), dtype=np.int64),
+                                anchors], axis=1)
+        recs.append(CigarRecord(f"x{i}", 0, len(sx), True, f"y{i}", 0,
+                                len(sy), True, 0.0,
+                                pairs_to_cigar_ops(pairs, len(sx), len(sy))))
+    fasta = str(tmp_path / "em.fa")
+    cig = str(tmp_path / "em.cig")
+    write_fasta(fasta, seqs)
+    with open(cig, "w") as fh:
+        fh.writelines(r.to_line() + "\n" for r in recs)
+
+    CLI_WORKER = os.path.join(HERE, "distributed_cli_worker.py")
+    # tiny chunks so 4 records -> 4 chunks -> real partitioning across hosts
+    base_args = ["--alignments", cig, "--fastas", fasta,
+                 "--iterations", "2", "--trials", "1",
+                 "--maxAlignmentLengthPerJob", "10"]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("SIGALIGN_COORDINATOR", "SIGALIGN_NUM_PROCS",
+                        "SIGALIGN_PROC_ID", "XLA_FLAGS")}
+    env["JAX_PLATFORMS"] = "cpu"
+
+    m1 = tmp_path / "m1.hmm"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); "
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "jax.config.update('jax_enable_x64', True); "
+         "from cpecan_signal_tpu.cli.em import main; "
+         "sys.exit(main(%r))" % (os.path.dirname(HERE),
+                                 base_args + ["--outputModel", str(m1)])],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    m2 = tmp_path / "m2.hmm"
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, CLI_WORKER, "em", str(pid), "2", str(port)]
+        + base_args + ["--outputModel", str(m2)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(o)
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+
+    assert m1.read_text() == m2.read_text()
