@@ -188,23 +188,34 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
     # trainModels.py:107-113).
     import jax
     if engine == "auto":
-        engine = ("pallas" if sm_type in ("threeState", "vanilla")
-                  and jax.default_backend() != "cpu" and jobs == 1 else "host")
+        engine = ("pallas" if sm_type in ("threeState", "vanilla",
+                                          "threeStateHdp")
+                  and jax.default_backend() != "cpu" and jobs == 1
+                  and (sm_type != "threeStateHdp"
+                       or assignment_threshold > 0) else "host")
     buckets = None
     if engine == "pallas":
-        if sm_type not in ("threeState", "vanilla"):
-            raise ValueError("the pallas EM engine drives threeState/vanilla")
-        from ..em.pallas_em import (build_sm3_em_buckets,
+        if sm_type not in ("threeState", "vanilla", "threeStateHdp"):
+            raise ValueError("the pallas EM engine drives threeState/vanilla/"
+                             "threeStateHdp")
+        from ..em.pallas_em import (build_hdp_em_buckets,
+                                    build_sm3_em_buckets,
                                     build_vanilla_em_buckets,
-                                    collect_sm3_em_jobs, sm3_em_step,
-                                    vanilla_em_step)
+                                    collect_hdp_em_jobs,
+                                    collect_sm3_em_jobs, hdp_em_step,
+                                    sm3_em_step, vanilla_em_step)
         buckets = {}
         for strand in ("t", "c"):
-            sj = collect_sm3_em_jobs(reads, models, params, strand)
-            if sm_type == "threeState":
-                buckets[strand] = build_sm3_em_buckets(sj)
+            if sm_type == "threeStateHdp":
+                sj = collect_hdp_em_jobs(reads, params, strand)
+                buckets[strand] = build_hdp_em_buckets(
+                    sj, threshold=assignment_threshold)
             else:
-                buckets[strand] = build_vanilla_em_buckets(sj, strand)
+                sj = collect_sm3_em_jobs(reads, models, params, strand)
+                if sm_type == "threeState":
+                    buckets[strand] = build_sm3_em_buckets(sj)
+                else:
+                    buckets[strand] = build_vanilla_em_buckets(sj, strand)
             log(f"train_models - pallas EM strand {strand}: {len(sj)} split "
                 f"jobs in {len(buckets[strand])} device buckets")
 
@@ -245,6 +256,14 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
                 acc.transitions = acc.transitions + trans
                 acc.kmer_gap = acc.kmer_gap + kmer_gap
                 acc.likelihood = lik
+            elif buckets is not None and sm_type == "threeStateHdp":
+                trans, lik, kms, evs = hdp_em_step(
+                    buckets[strand], nhdps[strand], st["transitions"],
+                    assignment_threshold)
+                acc.transitions = acc.transitions + trans
+                acc.likelihood = lik
+                acc.kmer_assignments.extend(kms)
+                acc.event_assignments.extend(evs)
             elif buckets is not None:  # vanilla
                 cur_bins = (st["bins"] if st["bins"] is not None
                             else models[strand].skip_bins)

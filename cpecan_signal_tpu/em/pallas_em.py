@@ -351,3 +351,262 @@ def vanilla_em_step(buckets: list[VanillaEmBucket], bins: np.ndarray):
         bins_sum += np.asarray(tallies, dtype=np.float64)
         lik_sum += float(lik)
     return bins_sum, lik_sum
+
+
+# ---------------------------------------------------------------------------
+# threeStateHdp EM on the Pallas path
+# ---------------------------------------------------------------------------
+# The flagship trainable model of the reference (vanillaAlign.c:318-360 HDP
+# branch).  Per-iteration pieces: the HDP density table (rebuilt by Gibbs
+# after each M-step) and the 9 transition scalars.  Static per problem:
+# window geometry + the clamp-convention rank / event-mean index arrays.  On
+# device, E's match/gapY channels are the table-gather + linear interpolation
+# dir_proc_density performs (hdp.c:2577-2601, raw density — the reference
+# quirk, see models.state_machines.make_signal_sm3_hdp); the fused backward
+# runs stages=4 with per-middle-edge-into-match posterior channels
+# (ops/pallas_fb pgroups), from which (kmer, event) assignments with
+# p >= threshold are compact-extracted on device
+# (impl/pairwiseAligner.c:445-477).  Requires threshold > 0 (the reference
+# default is 0.01, vanillaAlign.c:372): at threshold 0 every masked-off cell
+# (posterior exactly 0.0) would pass the reference's >= comparison too.
+
+
+@dataclass
+class HdpEmBucket:
+    plan: fb.EnginePlan
+    W: int
+    Dp: int
+    batch: object             # stacked WindowPallasProblem (E rebuilt per iter)
+    rank_orig: np.ndarray     # (B, Lc) int32 clamp-rank per clip(x, 0, Lc-1)
+    rank_remap: object        # (B, Lc) int32 device, remapped into uniq rows
+    meanp: object             # (B, Lc) f32 device, event mean per clip(y, ...)
+    uniq: np.ndarray          # (n_uniq,) int64 distinct ranks in this bucket
+    w0s: list                 # per-problem (Dp,) int64 window left edges
+    ragged_left: np.ndarray
+    ragged_right: np.ndarray
+    step: Callable
+
+
+def _hdp_iteration_arrays(transitions: dict | None):
+    from ..models.state_machines import make_signal_sm3_hdp
+    from ..engine.pallas_pipeline import _san
+
+    t = dict(SM3_NANOPORE_TRANSITIONS)
+    if transitions:
+        t.update(transitions)
+    zero = lambda r, m: np.zeros(np.broadcast(r, m).shape)
+    sm = make_signal_sm3_hdp(zero, "ACGTACGTA", np.zeros((2, 3)), t)
+    plan, tp_scalar, cell_sources = fb._build_plan(sm, "exact")
+    assert not cell_sources
+    return (_san(tp_scalar), _san(sm.start), _san(sm.ragged_start),
+            _san(sm.end), _san(sm.ragged_end))
+
+
+def _make_hdp_step(plan, W, Dp, Lc, K, threshold, interpret):
+    import jax
+    import jax.numpy as jnp
+
+    from ..engine import pallas_pipeline as pp
+    from ..models.state_machines import (MATCH, SRC_MIDDLE,
+                                         _GAPX_CLASS, _GAPY_CLASS,
+                                         _MATCH_CLASS)
+    from ..ops import pallas_fb as pk
+
+    pgroups = tuple((ei,) for ei, e in enumerate(plan.edges)
+                    if e.src == SRC_MIDDLE and e.to == MATCH)
+    P = len(pgroups)
+    NEG_INF = pp.NEG_INF
+
+    def step(batch, rankr, meanp, tab, g0, dg, tp_vec, start, end):
+        B = meanp.shape[0]
+        w0 = batch.diag_scalars[:, :Dp, 0, pk.DS_W0]
+        d = jnp.arange(Dp, dtype=jnp.int32)[None, :, None]
+        j = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+        xmy = w0[:, :, None] + 2 * j
+        x = (d + xmy) // 2
+        y = (d - xmy) // 2
+        rows = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+        r = rankr[rows, jnp.clip(x, 0, Lc - 1)]
+        mu = meanp[rows, jnp.clip(y, 0, Lc - 1)]
+        ng = tab.shape[1]          # static from the traced table shape
+        # dir_proc_density linear interpolation, clamped >= 0
+        pos = jnp.clip((mu - g0) / dg, 0.0, ng - 1 - 1e-6)
+        i0 = pos.astype(jnp.int32)
+        t = pos - i0
+        v = ((1.0 - t) * tab[r, i0]
+             + t * tab[r, jnp.minimum(i0 + 1, ng - 1)])
+        dens = jnp.maximum(v, 0.0)
+        live = (d <= batch.d_last[:, None, None])   # E rows >= D stay zero
+        De = batch.E.shape[1]
+        chans = [None] * 3
+        chans[_GAPX_CLASS] = jnp.broadcast_to(
+            jnp.where(live, LOG_TENTH, 0.0), dens.shape)
+        chans[_MATCH_CLASS] = jnp.where(live, dens, 0.0)
+        chans[_GAPY_CLASS] = chans[_MATCH_CLASS]
+        E = jnp.stack(chans, axis=2).astype(jnp.float32)   # (B, Dp, 3, W)
+        E = jnp.concatenate(
+            [E, jnp.zeros((B, De - Dp, 3, W), jnp.float32)], axis=1)
+        b = batch._replace(
+            E=E, start=start, end=end,
+            tp_scalar=jnp.broadcast_to(tp_vec, (B, tp_vec.shape[0])))
+        p, _tot, _ex, _ga, stats = pp.run_window_pallas(
+            plan, W, b, stages=4, pgroups=pgroups, interpret=interpret)
+        # per-channel assignment extraction (row-major cell order = the host
+        # driver's np.argwhere order; two-stage compaction, see
+        # engine.readpath._extract_compact)
+        from ..engine.readpath import _extract_compact
+
+        packs = [stats]
+        for c in range(P):
+            cnt, _q, outi = _extract_compact(p[:, :, c, :], threshold, K)
+            packs.append(jnp.concatenate(
+                [cnt[:, None], outi], axis=1).astype(jnp.float32))
+        return jnp.concatenate(packs, axis=1)
+
+    return step if interpret else jax.jit(step)
+
+
+def collect_hdp_em_jobs(reads: list[dict], params: AlignmentParams,
+                        strand: str) -> list[EmJob]:
+    """Like collect_sm3_em_jobs but for the HDP machine (no pore model —
+    emissions come from the density table; reads must be prepared with
+    descale=True as the reference descales events for HDP queries)."""
+    jobs = []
+    for prep in reads:
+        target, events, anchors, _sp = prep[strand]
+        if len(events) == 0:
+            continue
+        lX = len(target) - KMER_LENGTH + 1
+        for (x1, y1, x2, y2), band, rl, rr in _split_loop(
+                lX, len(events), anchors, params, True, True):
+            jobs.append(EmJob(None, target[x1:x2 + KMER_LENGTH - 1],
+                              events[y1:y2], band, rl, rr))
+    return jobs
+
+
+def build_hdp_em_buckets(jobs: list[EmJob], *, width_multiple: int = 128,
+                         interpret: bool | None = None,
+                         threshold: float = 0.01) -> list[HdpEmBucket]:
+    import jax
+    import jax.numpy as jnp
+
+    from ..engine import pallas_pipeline as pp
+    from ..models.state_machines import make_signal_sm3_hdp
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    assert threshold > 0.0, \
+        "the pallas HDP engine needs assignment_threshold > 0"
+
+    wbands = [smooth_band(j.band, width_multiple=width_multiple) for j in jobs]
+    groups: dict[int, list[int]] = {}
+    for i, wb in enumerate(wbands):
+        groups.setdefault(wb.W, []).append(i)
+
+    zero = lambda r, m: np.zeros(np.broadcast(r, m).shape)
+    buckets = []
+    for W, idxs in sorted(groups.items()):
+        for lo in range(0, len(idxs), MAX_BUCKET):
+            chunk = idxs[lo:lo + MAX_BUCKET]
+            Dp = max(wbands[i].n_diagonals for i in chunk)
+            Lc = Dp + 2
+            plan = None
+            probs, ranks_l, means_l, w0s = [], [], [], []
+            for i in chunk:
+                j = jobs[i]
+                sm = make_signal_sm3_hdp(zero, j.target, j.events)
+                iplan, prob = pp.make_window_pallas_problem(
+                    sm, wbands[i], ragged_left=j.ragged_left,
+                    ragged_right=j.ragged_right, pad_d=Dp)
+                assert plan is None or iplan == plan
+                plan = iplan
+                probs.append(prob)
+                r = np.asarray(sm.kmer_ranks, dtype=np.int32)
+                rp = np.full(Lc, r[-1], dtype=np.int32)
+                rp[:len(r)] = r
+                ranks_l.append(rp)
+                mu = np.zeros(Lc, dtype=np.float32)
+                mu[1:1 + len(j.events)] = j.events[:, 0]
+                mu[1 + len(j.events):] = (j.events[-1, 0]
+                                          if len(j.events) else 0.0)
+                means_l.append(mu)
+                w0s.append(np.asarray(wbands[i].w0, dtype=np.int64))
+            rank_orig = np.stack(ranks_l)
+            uniq = np.unique(rank_orig)
+            remap = np.searchsorted(uniq, rank_orig).astype(np.int32)
+            Dpq = probs[0].diag_scalars.shape[0] - 1
+            K = min(Dpq * W, 4 * Dpq + 512)
+            step = _make_hdp_step(plan, W, Dpq, Lc, K, threshold, interpret)
+            buckets.append(HdpEmBucket(
+                plan=plan, W=W, Dp=Dpq, batch=pp.stack_problems(probs),
+                rank_orig=rank_orig, rank_remap=jnp.asarray(remap),
+                meanp=jnp.asarray(np.stack(means_l)), uniq=uniq, w0s=w0s,
+                ragged_left=np.array([jobs[i].ragged_left for i in chunk]),
+                ragged_right=np.array([jobs[i].ragged_right for i in chunk]),
+                step=step))
+    return buckets
+
+
+def hdp_em_step(buckets: list[HdpEmBucket], nhdp, transitions: dict | None,
+                threshold: float):
+    """One full threeStateHdp E-step over all buckets against the CURRENT
+    HDP densities + transitions.  Returns (trans (3,3), likelihood,
+    kmer_assignments list, event_assignments list) summed/concatenated in
+    bucket-job order (matching the host driver's read/split/edge/cell
+    order)."""
+    import jax.numpy as jnp
+
+    from ..core.kmers import rank_to_kmer
+    from ..ops import pallas_fb as pk
+
+    table = nhdp.density_table()
+    grid = nhdp.hdp.grid
+    g0, dg, ng = float(grid[0]), float(grid[1] - grid[0]), len(grid)
+    tp_vec, sv, rsv, ev_, rev = _hdp_iteration_arrays(transitions)
+    tp_vec = jnp.asarray(tp_vec)
+
+    trans_sum = np.zeros((3, 3))
+    lik_sum = 0.0
+    kmers, means_out = [], []
+    for b in buckets:
+        tab = jnp.asarray(
+            np.maximum(table[np.minimum(b.uniq, table.shape[0] - 1)], 0.0),
+            dtype=jnp.float32)
+        start = jnp.asarray(np.where(b.ragged_left[:, None], rsv, sv))
+        end = jnp.asarray(np.where(b.ragged_right[:, None], rev, ev_))
+        # rebuild the step if the grid length changed (static in the jit)
+        packed = np.asarray(b.step(b.batch, b.rank_remap, b.meanp, tab,
+                                   np.float32(g0), np.float32(dg) if dg else
+                                   np.float32(1.0), tp_vec, start, end))
+        S = b.plan.n_states
+        n_e = len(b.plan.edges)
+        stats = packed[:, :128]
+        K = (packed.shape[1] - 128) // 3 - 1
+        for bi in range(len(b.w0s)):
+            for ei, e in enumerate(b.plan.edges):
+                trans_sum[e.frm, e.to] += stats[bi, ei]
+            lik_sum += float(stats[bi, pk.LIK_LANE])
+            w0 = b.w0s[bi]
+            Dreal = len(w0)
+            for c in range(3):
+                off = 128 + c * (K + 1)
+                cnt = int(packed[bi, off])
+                if cnt > K:
+                    raise RuntimeError(
+                        f"HDP assignment capacity overflow ({cnt} > {K}); "
+                        "raise assignment_threshold or use the host engine")
+                fi = packed[bi, off + 1:off + 1 + cnt].astype(np.int64)
+                d = fi // b.W
+                j = fi - d * b.W
+                keep = d < Dreal
+                d, j = d[keep], j[keep]
+                xmy = w0[d] + 2 * j
+                x = (d + xmy) >> 1
+                y = (d - xmy) >> 1
+                Lc = b.rank_orig.shape[1]
+                rr = b.rank_orig[bi, np.clip(x, 0, Lc - 1)]
+                mm = b.meanp[bi]
+                mm = np.asarray(mm)[np.clip(y, 0, Lc - 1)]
+                kmers.extend(rank_to_kmer(int(v)) for v in rr)
+                means_out.extend(float(v) for v in mm)
+    return trans_sum, lik_sum, kmers, means_out

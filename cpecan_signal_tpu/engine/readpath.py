@@ -61,12 +61,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _dp_ladder(d: int) -> int:
-    """Quantized Dp: 256-multiples up to 3072, then 4096-multiples (long
-    unsplit reads — a 50 kb read is ~100k diagonals; coarse rungs keep the
-    compiled-shape count bounded while padding stays <= ~4%)."""
-    if d <= 3072:
+    """Quantized Dp: 256-multiples up to 1024, then powers of two.  Coarse
+    rungs merge jobs into FEW buckets: every extra bucket costs a dispatch
+    and a share of the tunnel round trip, while padded diagonals only cost
+    chip time at ~6 ns/diagonal-row."""
+    if d <= 1024:
         return _round_up(max(d, _DQ), _DQ)
-    return _round_up(d, 4096)
+    p = 2048
+    while p < d:
+        p *= 2
+    return p
 
 
 # ---------------------------------------------------------------------------
@@ -200,25 +204,50 @@ def _pack_ds(win, lY, W, lXp, lYp):
     return ds, x0, yr0
 
 
-def _extract_compact(p, threshold, K):
+_EXTRACT_L = 16   # per-diagonal slot cap of the two-stage compaction
+
+
+def _extract_compact(p, threshold, K, L: int = _EXTRACT_L):
     """Threshold-passing cells, compacted on device in flat row-major (d, j)
     order (the host extractor's order): returns (count (B,), quantized probs
     (B, K) int32, flat cell indices (B, K) int32).  Quantization floor(p*1e7)
-    runs in f32 exactly like the host's numpy expression."""
+    runs in f32 exactly like the host's numpy expression.
+
+    Two-stage: a TPU scatter costs ~proportional to its update count, and a
+    one-shot scatter over the full (Dp * W) grid dominated the end-to-end
+    path (~78 ms per large bucket).  Stage 1 compacts each diagonal's <= W
+    lanes to at most L ordered slots with L cheap masked-min passes (match
+    posteriors per diagonal sum to <= 1, so more than L = 16 cells above a
+    1% threshold is rare); stage 2 scatters the (Dp * L) slot grid — W/L x
+    less work.  A diagonal overflowing L slots makes the count K + 1, which
+    the caller treats as capacity overflow (full-grid fallback)."""
+    import jax
     import jax.numpy as jnp
 
     B, Dp, W = p.shape
-    pf = p.reshape(B, Dp * W)
-    m = pf >= np.float32(threshold)
-    idx = jnp.cumsum(m.astype(jnp.int32), axis=1) - 1
-    cnt = idx[:, -1] + 1
-    tgt = jnp.where(m, idx, K)
-    q = jnp.floor(pf * np.float32(PAIR_ALIGNMENT_PROB_1)).astype(jnp.int32)
+    m = p >= np.float32(threshold)
+    csl = jnp.cumsum(m.astype(jnp.int32), axis=2)
+    cnt_d = csl[:, :, -1]                            # (B, Dp)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, Dp, W), 2)
+    slots = [jnp.min(jnp.where(m & (csl == s + 1), lane, W), axis=2)
+             for s in range(L)]
+    lane_idx = jnp.stack(slots, axis=2)              # (B, Dp, L)
+    valid2 = (jnp.arange(L, dtype=jnp.int32)[None, None, :]
+              < jnp.minimum(cnt_d, L)[:, :, None])
+    flatL = (jnp.minimum(lane_idx, W - 1)
+             + jnp.arange(Dp, dtype=jnp.int32)[None, :, None] * W)
+    v2 = valid2.reshape(B, Dp * L)
+    f2 = flatL.reshape(B, Dp * L)
+    idx = jnp.cumsum(v2.astype(jnp.int32), axis=1) - 1
+    total = idx[:, -1] + 1
+    tgt = jnp.where(v2, idx, K)
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-    flat = jnp.broadcast_to(jnp.arange(Dp * W, dtype=jnp.int32), (B, Dp * W))
-    outq = jnp.zeros((B, K + 1), jnp.int32).at[rows, tgt].set(q)
-    outi = jnp.zeros((B, K + 1), jnp.int32).at[rows, tgt].set(flat)
-    return cnt, outq[:, :K], outi[:, :K]
+    outi = jnp.zeros((B, K + 1), jnp.int32).at[rows, tgt].set(f2)[:, :K]
+    pf = p.reshape(B, Dp * W)
+    outq = jnp.floor(jnp.take_along_axis(pf, outi, axis=1)
+                     * np.float32(PAIR_ALIGNMENT_PROB_1)).astype(jnp.int32)
+    cnt = jnp.where((cnt_d > L).any(axis=1), K + 1, total)
+    return cnt, outq, outi
 
 
 @lru_cache(maxsize=256)
@@ -334,11 +363,15 @@ def stage_fast_job(job, wband: WindowBand):
         off_x=job.off_x, off_y=job.off_y), plan
 
 
-def _chunk_sizes(n: int) -> list[int]:
+def _chunk_sizes(n: int, Dp: int = 256) -> list[int]:
     """Greedy decomposition of n into allowed batch sizes; the final chunk is
-    padded up to the smallest allowed size that fits."""
-    out = []
+    padded up to the smallest allowed size that fits.  The chunk cap shrinks
+    as Dp grows so a bucket's device footprint (E/F grids + extraction
+    temporaries, ~7 KB per diagonal per problem) stays well inside HBM."""
     big = _ALLOWED_B[-1]
+    while big > 1 and big * Dp > 512 * 1024:
+        big //= 2
+    out = []
     while n >= big:
         out.append(big)
         n -= big
@@ -403,7 +436,7 @@ def run_fast_jobs(staged: list[tuple[int, "_FastJob", object]],
             n_int = lXp + 3 * Dp + 3
             n_flt = 2 * lYp + 8 + n_tp + 2 * S
             pos = 0
-            for B in _chunk_sizes(len(members)):
+            for B in _chunk_sizes(len(members), Dp):
                 chunk = members[pos:pos + B]
                 pos += len(chunk)
                 idxs = chunk + [chunk[-1]] * (B - len(chunk))
@@ -434,18 +467,31 @@ def run_fast_jobs(staged: list[tuple[int, "_FastJob", object]],
                 pending.append((chunk, handle, W, Dp, K))
 
     t1 = _time.perf_counter()
-    # start every device->host copy before awaiting any (one round trip for
-    # the whole set instead of one per bucket)
-    for _chunk, handle, *_rest in pending:
-        if hasattr(handle, "copy_to_host_async"):
-            handle.copy_to_host_async()
+    # ONE device->host fetch for the whole read set: every per-bucket fetch
+    # pays a full tunnel round trip (~27 ms) even with copy_to_host_async,
+    # so the packed outputs are concatenated on device and split on host
+    t_wait = 0.0
+    packed_of: list[np.ndarray] = []
+    if len(pending) > 1 and not interpret:
+        import jax.numpy as jnp
+
+        flats = [h.ravel() for (_c, h, *_r) in pending]
+        tw = _time.perf_counter()
+        combined = np.asarray(jnp.concatenate(flats))
+        t_wait += _time.perf_counter() - tw
+        off = 0
+        for (chunk, handle, W, Dp, K) in pending:
+            n = handle.size
+            packed_of.append(combined[off:off + n].reshape(handle.shape))
+            off += n
+    else:
+        for (_c, handle, *_r) in pending:
+            tw = _time.perf_counter()
+            packed_of.append(np.asarray(handle))
+            t_wait += _time.perf_counter() - tw
 
     out: dict[int, tuple] = {}
-    t_wait = 0.0
-    for chunk, handle, W, Dp, K in pending:
-        tw = _time.perf_counter()
-        packed = np.asarray(handle)
-        t_wait += _time.perf_counter() - tw
+    for (chunk, handle, W, Dp, K), packed in zip(pending, packed_of):
         cnt = packed[:, 0]
         outq = packed[:, 1:1 + K]
         outi = packed[:, 1 + K:]

@@ -110,12 +110,17 @@ N_XPARAMS = 13
 def _emissions_kernel(x0_ref, yr0_ref, xarr_ref, evr_ref, out_ref, *,
                       W, Dp, Bte, kd):
     dk = pl.program_id(1)
+    # x0/yr0 stream in as 128-entry SMEM chunks (full-length rows would need
+    # Dp x 4 bytes of SMEM per problem — a 100k-diagonal unsplit long read
+    # blows the 1 MB budget); the kd diagonals of one step always fall inside
+    # one 128-aligned chunk because kd divides 128
+    base = (dk * kd) // 128 * 128
 
     for i in range(Bte):
         for k in range(kd):
             d = dk * kd + k
-            xs = x0_ref[i, 0, d]
-            ys = yr0_ref[i, 0, d]
+            xs = x0_ref[i, 0, d - base]
+            ys = yr0_ref[i, 0, d - base]
 
             def pack(ref, nrows, start):
                 # lane-dim dynamic slices must be 128-aligned: load an aligned
@@ -156,23 +161,24 @@ def emissions_sm3(x0, yr0, xarr, evr, W: int, Dp: int, interpret: bool = False,
     nd = -(-(Dp + 1) // kd)
     Dpe = nd * kd
     if Bte is None:
-        # keep the double-buffered xarr blocks within a few MB of VMEM and
-        # the per-block offset rows well inside the 1 MB SMEM budget
-        Bte = max(1, min(8, (2 * 1024 * 1024) // (N_XPARAMS * lXp * 4),
-                         (256 * 1024) // (Dpe * 4)))
+        # keep the double-buffered xarr blocks within a few MB of VMEM
+        # (SMEM is no issue: the offset rows stream as 128-entry chunks)
+        Bte = max(1, min(8, (2 * 1024 * 1024) // (N_XPARAMS * lXp * 4)))
     while Bn % Bte:
         Bte -= 1
-    # offset rows stream in as full-length (Bte, 1, Dpe) SMEM rows per block
-    # (whole-array scalar prefetch of all B rows blows SMEM on real chips;
-    # chunked last-dim SMEM blocks must be 128-divisible, so full rows it is)
+    # offset rows stream in as 128-entry SMEM chunks selected by the grid
+    # step (SMEM blocks must be 128-divisible in the last dim; kd divides
+    # 128, so a step's kd diagonals never straddle a chunk boundary)
+    Dpc = -(-Dpe // 128) * 128
+
     def padded(v):
         v = v.reshape(Bn, 1, Dp + 1)
-        return jnp.pad(v, ((0, 0), (0, 0), (0, Dpe - (Dp + 1))), mode="edge")
+        return jnp.pad(v, ((0, 0), (0, 0), (0, Dpc - (Dp + 1))), mode="edge")
 
     in_specs = [
-        pl.BlockSpec((Bte, 1, Dpe), lambda b, d: (b, 0, 0),
+        pl.BlockSpec((Bte, 1, 128), lambda b, d: (b, 0, (d * kd) // 128),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((Bte, 1, Dpe), lambda b, d: (b, 0, 0),
+        pl.BlockSpec((Bte, 1, 128), lambda b, d: (b, 0, (d * kd) // 128),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((Bte, N_XPARAMS, lXp), lambda b, d: (b, 0, 0),
                      memory_space=pltpu.VMEM),

@@ -1,0 +1,119 @@
+"""Device (Pallas stages=4 + pgroups) threeStateHdp E-step vs the host f64
+driver: transition tallies, likelihood, and (kmer, event) assignments."""
+
+import numpy as np
+import pytest
+
+from cpecan_signal_tpu.core.anchors import filter_to_remove_overlap
+from cpecan_signal_tpu.em.expectation_driver import hdp_expectations
+from cpecan_signal_tpu.em.pallas_em import (EmJob, build_hdp_em_buckets,
+                                            hdp_em_step)
+from cpecan_signal_tpu.em.expectation_driver import _split_loop
+from cpecan_signal_tpu.hdp.nanopore import build_nanopore_hdp
+from cpecan_signal_tpu.models.params import AlignmentParams
+from cpecan_signal_tpu.models.state_machines import make_signal_sm3_hdp
+
+TMODEL = "/root/reference/models/template_median68pA.model"
+
+
+@pytest.fixture(scope="module")
+def small_nhdp():
+    rng = np.random.default_rng(9)
+    nhdp = build_nanopore_hdp("flat", TMODEL, alphabet="ACGT",
+                              grid=(30.0, 120.0, 120), seed=5)
+    bases = "ACGT"
+    kmers = ["".join(rng.choice(list(bases), 6)) for _ in range(300)]
+    means = rng.uniform(45.0, 95.0, 300)
+    nhdp.set_assignments(kmers, list(means))
+    nhdp.gibbs(num_samples=40, burn_in=400, thinning=10)
+    nhdp.finalize()
+    return nhdp
+
+
+def _fixture_problem(rng, nhdp, n=60):
+    target = "".join(rng.choice(list("ACGT"), n))
+    # events near plausible signal range; descaled-mean semantics
+    events = np.stack([rng.uniform(50.0, 90.0, n - 3),
+                       rng.uniform(0.5, 2.0, n - 3),
+                       np.full(n - 3, 0.01)], axis=1)
+    anchors = filter_to_remove_overlap(np.asarray(
+        [[i, i] for i in range(0, n - 7, 6)], dtype=np.int64))
+    return target, events, anchors
+
+
+def test_hdp_device_estep_matches_host(small_nhdp):
+    nhdp = small_nhdp
+    params = AlignmentParams()
+    threshold = 0.01
+    rng = np.random.default_rng(2)
+    cases = [_fixture_problem(rng, nhdp, n) for n in (50, 64)]
+
+    density = nhdp.density_logp_fn()
+    jobs = []
+    for target, events, anchors in cases:
+        for (x1, y1, x2, y2), band, rl, rr in _split_loop(
+                len(target) - 5, len(events), anchors, params, True, True):
+            jobs.append(EmJob(None, target[x1:x2 + 5], events[y1:y2],
+                              band, rl, rr))
+    buckets = build_hdp_em_buckets(jobs, interpret=True, threshold=threshold)
+    trans_d, lik_d, kmers_d, means_d = hdp_em_step(buckets, nhdp, None,
+                                                   threshold)
+
+    trans_h = np.zeros((3, 3))
+    lik_h = 0.0
+    kmers_h, means_h = [], []
+    for target, events, anchors in cases:
+        make_sm = lambda t, e, _d=density: make_signal_sm3_hdp(_d, t, e)
+        acc = hdp_expectations(make_sm, target, events, anchors, params,
+                               threshold)
+        trans_h += acc.transitions
+        lik_h += acc.likelihood
+        kmers_h.extend(acc.kmer_assignments)
+        means_h.extend(acc.event_assignments)
+
+    np.testing.assert_allclose(trans_d, trans_h, rtol=1e-3, atol=1e-5)
+    assert abs(lik_d - lik_h) < 1e-3 * max(abs(lik_h), 1)
+    # assignments: same multiset up to f32 threshold-boundary jitter
+    from collections import Counter
+    cd = Counter(zip(kmers_d, np.round(means_d, 2)))
+    ch = Counter(zip(kmers_h, np.round(means_h, 2)))
+    n_common = sum((cd & ch).values())
+    assert len(kmers_h) > 20
+    assert n_common >= 0.99 * max(len(kmers_d), len(kmers_h))
+
+
+def test_hdp_device_estep_trained_transitions(small_nhdp):
+    """Iteration-1 shape: trained transitions feed back into the device step
+    (the train_models threeStateHdp pallas loop) and still match the host."""
+    from cpecan_signal_tpu.em.accumulators import HdpHmm
+
+    nhdp = small_nhdp
+    params = AlignmentParams()
+    threshold = 0.01
+    rng = np.random.default_rng(4)
+    target, events, anchors = _fixture_problem(rng, nhdp, 56)
+    density = nhdp.density_logp_fn()
+
+    make_sm = lambda t, e, _d=density: make_signal_sm3_hdp(_d, t, e)
+    acc0 = hdp_expectations(make_sm, target, events, anchors, params,
+                            threshold)
+    acc0.normalize()
+    trained = acc0.to_sm3_params()
+
+    jobs = []
+    for (x1, y1, x2, y2), band, rl, rr in _split_loop(
+            len(target) - 5, len(events), anchors, params, True, True):
+        jobs.append(EmJob(None, target[x1:x2 + 5], events[y1:y2], band,
+                          rl, rr))
+    buckets = build_hdp_em_buckets(jobs, interpret=True, threshold=threshold)
+    trans_d, lik_d, kmers_d, _md = hdp_em_step(buckets, nhdp, trained,
+                                               threshold)
+
+    make_sm1 = lambda t, e, _d=density, _s=trained: make_signal_sm3_hdp(
+        _d, t, e, _s)
+    acc1 = hdp_expectations(make_sm1, target, events, anchors, params,
+                            threshold)
+    np.testing.assert_allclose(trans_d, acc1.transitions, rtol=5e-3,
+                               atol=1e-3)
+    assert abs(lik_d - acc1.likelihood) < 5e-3 * max(abs(acc1.likelihood), 1)
+    assert len(kmers_d) == acc1.n_assignments
