@@ -188,20 +188,24 @@ def stack_problems(probs: list[SM3PallasProblem]) -> SM3PallasProblem:
 
 def run_sm3_pallas(plan: fb.EnginePlan, W: int, batch: SM3PallasProblem,
                    Bt: int | None = None, stages: int = 4,
-                   interpret: bool = False):
+                   interpret: bool = False, kd: int | None = None):
     """Pipeline body: emissions -> forward -> fused backward (all
     kd-diagonal-blocked; F carries a leading NEG_INF halo block).  stages=3
     is the posterior-decoding (alignment) path; stages=4 adds the EM
-    tallies (see ops/pallas_fb.backward_sm3)."""
+    tallies (see ops/pallas_fb.backward_sm3).  kd defaults to pk.KD; huge
+    single-problem buckets (unsplit long reads) pass a larger kd — the
+    sequential grid-step count, not VMEM, binds there."""
+    if kd is None:
+        kd = pk.KD
     Dp = batch.diag_scalars.shape[1] - 1
     E = pk.emissions_sm3(batch.x0, batch.yr0, batch.xarr, batch.evr, W, Dp,
-                         kd=pk.KD, interpret=interpret)
+                         kd=kd, interpret=interpret)
     F = pk.forward_sm3(plan, E, batch.diag_scalars, batch.d_last,
-                       batch.start, batch.tp_scalar, Bt=Bt, kd=pk.KD,
+                       batch.start, batch.tp_scalar, Bt=Bt, kd=kd,
                        interpret=interpret)
     p, totals, exits, gacc, stats = pk.backward_sm3(
         plan, E, F, batch.diag_scalars, batch.d_last, batch.end,
-        batch.tp_scalar, Bt=Bt, kd=pk.KD, stages=stages,
+        batch.tp_scalar, Bt=Bt, kd=kd, stages=stages,
         interpret=interpret)
     return (p[:, :, 0, :], totals[:, :, 0, 0], exits[:, :, 0, 0],
             gacc[:, 0, :], stats[:, 0, :])

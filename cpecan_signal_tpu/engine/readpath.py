@@ -61,16 +61,27 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _dp_ladder(d: int) -> int:
-    """Quantized Dp: 256-multiples up to 1024, then powers of two.  Coarse
-    rungs merge jobs into FEW buckets: every extra bucket costs a dispatch
-    and a share of the tunnel round trip, while padded diagonals only cost
-    chip time at ~6 ns/diagonal-row."""
+    """Quantized Dp: 256-multiples up to 1024, powers of two to 16384, then
+    8192-multiples (an unsplit long read is one job — fine rungs there cost
+    nothing in bucket count but save its padded sequential steps).  Coarse
+    middle rungs merge jobs into FEW buckets: every extra bucket costs a
+    dispatch and a share of the tunnel round trip, while padded diagonals
+    only cost chip time."""
     if d <= 1024:
         return _round_up(max(d, _DQ), _DQ)
-    p = 2048
-    while p < d:
-        p *= 2
-    return p
+    if d <= 16384:
+        p = 2048
+        while p < d:
+            p *= 2
+        return p
+    return _round_up(d, 8192)
+
+
+def _bucket_kd(Dp: int) -> int:
+    """Diagonals per grid step: kd=8 keeps VMEM free for wide Bt on batched
+    buckets; huge single-problem buckets (long reads) are bound by the
+    SEQUENTIAL grid-step count, so kd=32 quarters it."""
+    return 32 if Dp >= 8192 else 8
 
 
 # ---------------------------------------------------------------------------
@@ -259,6 +270,8 @@ def _bucket_fn(plan, W, Dp, lXp, lYp, B, K, n_tp, S, threshold, interpret):
 
     from . import pallas_pipeline as pp
 
+    kd = _bucket_kd(Dp)
+
     def run(mt, yt, gapx, ints, flts):
         import jax.numpy as jnp
 
@@ -282,7 +295,7 @@ def _bucket_fn(plan, W, Dp, lXp, lYp, B, K, n_tp, S, threshold, interpret):
             xarr=xarr, evr=evr, x0=x0, yr0=yr0, diag_scalars=ds,
             d_last=d_last, start=start, end=end, tp_scalar=tps, xrank=xrank)
         p, _totals, *_rest = pp.run_sm3_pallas(plan, W, prob, stages=3,
-                                               interpret=interpret)
+                                               interpret=interpret, kd=kd)
         cnt, outq, outi = _extract_compact(p, threshold, K)
         # ONE output array per bucket: each host fetch costs a tunnel trip
         return jnp.concatenate([cnt[:, None], outq, outi], axis=1)

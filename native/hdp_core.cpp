@@ -85,11 +85,40 @@ struct HDP {
     std::vector<int64_t> snapshot_factors;
 
     double& dp_gamma(DP* dp) { return gamma[dp->depth]; }
+
+    // log-gamma / log-nu memos over the integer customer-count offsets
+    // (the reference's hdp_math_utils.c:120-273 memoization): nu and
+    // two_alpha both advance from their priors by the same integer k, so
+    // lgamma(0.5*(two_alpha0+k)) and log(nu0+k) are precomputed per k.
+    std::vector<double> lg_memo, ln_memo;
+
+    void grow_memos(size_t k) {
+        size_t old = lg_memo.size();
+        size_t want = std::max(k + 1, old * 2 + 64);
+        lg_memo.resize(want);
+        ln_memo.resize(want);
+        for (size_t i = old; i < want; i++) {
+            lg_memo[i] = lgamma(0.5 * (two_alpha + (double)i));
+            ln_memo[i] = std::log(nu + (double)i);
+        }
+    }
 };
 
 double log_post_term(double nu_post, double two_alpha_post, double beta_post) {
     return lgamma(0.5 * two_alpha_post)
            - 0.5 * (std::log(nu_post) + two_alpha_post * std::log(beta_post));
+}
+
+inline double log_post_term_m(HDP* h, double nu_post, double two_alpha_post,
+                              double beta_post) {
+    double kf = nu_post - h->nu;
+    int64_t k = (int64_t)(kf + 0.5);
+    if (k >= 0 && std::fabs(kf - (double)k) < 1e-6) {
+        if ((size_t)k >= h->lg_memo.size()) h->grow_memos((size_t)k);
+        return h->lg_memo[k]
+               - 0.5 * (h->ln_memo[k] + two_alpha_post * std::log(beta_post));
+    }
+    return log_post_term(nu_post, two_alpha_post, beta_post);
 }
 
 void cache_base_params(Factor* f, double mu, double nu, double two_alpha,
@@ -154,7 +183,7 @@ void get_factor_stats(Factor* f, double* mean, double* ssd, int64_t* n) {
     factor_ssd(f, *mean, ssd);
 }
 
-void add_update_base_params(Factor* f, double mean, double ssd, double n) {
+void add_update_base_params(HDP* h, Factor* f, double mean, double ssd, double n) {
     double mu_prev = f->nig[0], nu_prev = f->nig[1];
     double two_alpha_prev = f->nig[2], beta_prev = f->nig[3];
     double nu_post = nu_prev + n;
@@ -164,10 +193,10 @@ void add_update_base_params(Factor* f, double mean, double ssd, double n) {
     double sq_mean_dev = nu_prev * n * mean_dev * mean_dev / nu_post;
     double beta_post = beta_prev + 0.5 * (ssd + sq_mean_dev);
     cache_base_params(f, mu_post, nu_post, two_alpha_post, beta_post,
-                      log_post_term(nu_post, two_alpha_post, beta_post));
+                      log_post_term_m(h, nu_post, two_alpha_post, beta_post));
 }
 
-void remove_update_base_params(Factor* f, double mean, double ssd, double n) {
+void remove_update_base_params(HDP* h, Factor* f, double mean, double ssd, double n) {
     double mu_post = f->nig[0], nu_post = f->nig[1];
     double two_alpha_post = f->nig[2], beta_post = f->nig[3];
     double nu_prev = nu_post - n;
@@ -177,7 +206,7 @@ void remove_update_base_params(Factor* f, double mean, double ssd, double n) {
     double sq_mean_dev = nu_prev * n * mean_dev * mean_dev / nu_post;
     double beta_prev = beta_post - 0.5 * (ssd + sq_mean_dev);
     cache_base_params(f, mu_prev, nu_prev, two_alpha_prev, beta_prev,
-                      log_post_term(nu_prev, two_alpha_prev, beta_prev));
+                      log_post_term_m(h, nu_prev, two_alpha_prev, beta_prev));
 }
 
 void destroy_factor(HDP* h, Factor* f) {
@@ -211,7 +240,7 @@ void unassign_from_parent(HDP* h, Factor* f) {
 
     // the cascade may have destroyed the base factor
     if (base_dp->factors.count(base_f)) {
-        remove_update_base_params(base_f, mean, ssd, (double)n);
+        remove_update_base_params(h, base_f, mean, ssd, (double)n);
     }
     if (f->dp != nullptr) {
         f->dp->cached_mean = mean;
@@ -227,15 +256,15 @@ void assign_to_parent(HDP* h, Factor* f, Factor* parent, bool update_params) {
     if (!update_params) return;
     Factor* base_f = get_base_factor(parent);
     if (f->type == DATA_PT) {
-        add_update_base_params(base_f, f->data, 0.0, 1.0);
+        add_update_base_params(h, base_f, f->data, 0.0, 1.0);
     } else {
         DP* dp = f->dp;
-        add_update_base_params(base_f, dp->cached_mean, dp->cached_ssd,
+        add_update_base_params(h, base_f, dp->cached_mean, dp->cached_ssd,
                                (double)dp->cached_size);
     }
 }
 
-double data_pt_parent_likelihood(Factor* data_f, Factor* parent) {
+double data_pt_parent_likelihood(HDP* h, Factor* data_f, Factor* parent) {
     Factor* base_f = get_base_factor(parent);
     double mu_d = base_f->nig[0], nu_d = base_f->nig[1];
     double two_alpha_d = base_f->nig[2], beta_d = base_f->nig[3];
@@ -244,11 +273,11 @@ double data_pt_parent_likelihood(Factor* data_f, Factor* parent) {
     double sq_mean_dev = nu_d * mean_dev * mean_dev / nu_n;
     double two_alpha_n = two_alpha_d + 1.0;
     double beta_n = beta_d + 0.5 * sq_mean_dev;
-    double log_numer = log_post_term(nu_n, two_alpha_n, beta_n);
+    double log_numer = log_post_term_m(h, nu_n, two_alpha_n, beta_n);
     return (1.0 / std::sqrt(2.0 * KPI)) * std::exp(log_numer - base_f->nig[4]);
 }
 
-double factor_parent_joint_ll(Factor* f, Factor* parent) {
+double factor_parent_joint_ll(HDP* h, Factor* f, Factor* parent) {
     Factor* base_f = get_base_factor(parent);
     DP* dp = f->dp;
     double n = (double)dp->cached_size;
@@ -262,7 +291,7 @@ double factor_parent_joint_ll(Factor* f, Factor* parent) {
     double sq_mean_dev = nu_d * n * mean_dev * mean_dev / nu_n;
     double beta_n = beta_d + 0.5 * (ssd + sq_mean_dev);
     return -0.5 * n * std::log(2.0 * KPI)
-           + log_post_term(nu_n, two_alpha_n, beta_n) - base_f->nig[4];
+           + log_post_term_m(h, nu_n, two_alpha_n, beta_n) - base_f->nig[4];
 }
 
 double prior_likelihood(HDP* h, Factor* f) {
@@ -308,11 +337,11 @@ double unobserved_factor_likelihood(HDP* h, Factor* f, DP* dp) {
         #pragma omp parallel for schedule(static) reduction(+:likelihood)
         for (size_t i = 0; i < pool.size(); i++) {
             likelihood += pool[i]->children.size()
-                          * data_pt_parent_likelihood(f, pool[i]);
+                          * data_pt_parent_likelihood(h, f, pool[i]);
         }
     } else {
         for (Factor* pf : parent_dp->factors) {
-            likelihood += pf->children.size() * data_pt_parent_likelihood(f, pf);
+            likelihood += pf->children.size() * data_pt_parent_likelihood(h, f, pf);
         }
     }
     likelihood += parent_gamma * unobserved_factor_likelihood(h, f, parent_dp);
@@ -327,7 +356,7 @@ double unobserved_factor_joint_ll(HDP* h, Factor* f, DP* dp) {
     double ll = -INFINITY;
     for (Factor* pf : parent_dp->factors) {
         ll = add_logs(ll, std::log((double)pf->children.size())
-                          + factor_parent_joint_ll(f, pf));
+                          + factor_parent_joint_ll(h, f, pf));
     }
     ll = add_logs(ll, std::log(parent_gamma) + unobserved_factor_joint_ll(h, f, parent_dp));
     ll -= std::log(parent_gamma + (double)parent_dp->num_factor_children);
@@ -341,15 +370,24 @@ double rand_uniform(HDP* h, double hi) {
 Factor* sample_factor(HDP* h, Factor* f, DP* dp);
 
 Factor* sample_from_data_pt(HDP* h, Factor* f, DP* dp) {
-    std::vector<Factor*> pool(dp->factors.begin(), dp->factors.end());
+    // thread-local scratch: 100k+ data points per sweep each built two
+    // fresh vectors here; the cdf is fully consumed (lower_bound) before
+    // any recursion, so reuse across recursion levels is safe
+    static thread_local std::vector<Factor*> pool;
+    static thread_local std::vector<double> cdf;
+    pool.assign(dp->factors.begin(), dp->factors.end());
     size_t n = pool.size();
-    std::vector<double> cdf(n + 1);
+    cdf.resize(n + 1);
     // parallel likelihood evaluation over the factor pool (the reference's
     // OpenMP region, hdp.c:1805-1816); the per-factor term is pure, the
-    // prefix sum stays sequential
+    // prefix sum stays sequential.  NOTE: local references — a thread_local
+    // named inside the omp region would resolve to each WORKER's own
+    // (empty) instance.
+    std::vector<Factor*>& pl = pool;
+    std::vector<double>& cd = cdf;
     #pragma omp parallel for schedule(static) if (n > 256)
     for (size_t i = 0; i < n; i++) {
-        cdf[i] = pool[i]->children.size() * data_pt_parent_likelihood(f, pool[i]);
+        cd[i] = pl[i]->children.size() * data_pt_parent_likelihood(h, f, pl[i]);
     }
     double cumul = 0.0;
     for (size_t i = 0; i < n; i++) {
@@ -372,18 +410,23 @@ Factor* sample_from_data_pt(HDP* h, Factor* f, DP* dp) {
 }
 
 Factor* sample_from_middle(HDP* h, Factor* f, DP* dp) {
-    std::vector<Factor*> pool(dp->factors.begin(), dp->factors.end());
+    static thread_local std::vector<Factor*> pool;
+    static thread_local std::vector<double> logp;
+    static thread_local std::vector<double> cdf;
+    pool.assign(dp->factors.begin(), dp->factors.end());
     size_t n = pool.size();
-    std::vector<double> logp(n + 1);
+    logp.resize(n + 1);
+    std::vector<Factor*>& pl = pool;
+    std::vector<double>& lp = logp;
     #pragma omp parallel for schedule(static) if (n > 256)
     for (size_t i = 0; i < n; i++) {
-        logp[i] = std::log((double)pool[i]->children.size())
-                  + factor_parent_joint_ll(f, pool[i]);
+        lp[i] = std::log((double)pl[i]->children.size())
+                  + factor_parent_joint_ll(h, f, pl[i]);
     }
     logp[n] = std::log(h->dp_gamma(dp)) + unobserved_factor_joint_ll(h, f, dp);
     double mx = -INFINITY;
-    for (double v : logp) mx = std::max(mx, v);
-    std::vector<double> cdf(n + 1);
+    for (size_t i = 0; i <= n; i++) mx = std::max(mx, logp[i]);
+    cdf.resize(n + 1);
     double cumul = 0.0;
     for (size_t i = 0; i <= n; i++) {
         cumul += std::exp(logp[i] - mx);
@@ -646,24 +689,24 @@ void init_factors(HDP* h) {
     double mean, ssd;
     int64_t n;
     get_factor_stats(root, &mean, &ssd, &n);
-    add_update_base_params(root, mean, ssd, (double)n);
+    add_update_base_params(h, root, mean, ssd, (double)n);
 }
 
 // ---- snapshot diagnostics (hdp.c:2285-2478) --------------------------------
 
-double snapshot_joint_log_density_internal(Factor* f) {
+double snapshot_joint_log_density_internal(HDP* h, Factor* f) {
     if (f->type == DATA_PT) {
-        return std::log(data_pt_parent_likelihood(f, f->parent));
+        return std::log(data_pt_parent_likelihood(h, f, f->parent));
     }
     double ld = 0.0;
-    for (Factor* c : f->children) ld += snapshot_joint_log_density_internal(c);
+    for (Factor* c : f->children) ld += snapshot_joint_log_density_internal(h, c);
     return ld;
 }
 
 double snapshot_joint_log_density(HDP* h) {
     double ld = 0.0;
     for (Factor* bf : h->base_dp->factors) {
-        ld += snapshot_joint_log_density_internal(bf);
+        ld += snapshot_joint_log_density_internal(h, bf);
     }
     return ld;
 }
@@ -889,7 +932,7 @@ HDP* deserialize_chain(std::FILE* fh) {
         double mean, ssd;
         int64_t n;
         get_factor_stats(bf, &mean, &ssd, &n);
-        add_update_base_params(bf, mean, ssd, (double)n);
+        add_update_base_params(h, bf, mean, ssd, (double)n);
     }
     // posterior-predictive accumulators
     long long n_obs;
