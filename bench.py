@@ -457,6 +457,33 @@ def main():
         f"({ev_total/em_dt:,.0f} ev/s, {1/em_dt:.2f} steps/s); "
         f"~{gb/dt:.0f} GB/s of ~819 GB/s HBM (v5e) incl. masked band waste")
 
+    # --- utilization analysis (why the latency wall binds before 2x): the
+    # wavefront recursion is SEQUENTIAL over diagonals; each grid step costs
+    # ~constant wall clock (VPU op latency over the serial logAdd chain, not
+    # HBM, not FLOPs), so throughput = (events per step) / (step time).
+    # Events per step is capped by Bt (VMEM) x true-band lanes; true bands
+    # are ~2*expansion+1 wide inside a 128-lane vreg, so ~2/3 of each vector
+    # op is masked waste.  The identified >= 2x lever is lane-packing two
+    # 64-lane problems per vreg (not band micro-opts). ---
+    n_steps = 0
+    widths = []
+    for Wb, batch, plan in pipelines:
+        B = batch.x0.shape[0]
+        Dp = batch.diag_scalars.shape[1] - 1
+        from cpecan_signal_tpu.ops.pallas_fb import KD, _pick_bt
+        Bt = _pick_bt(B, Wb, None, KD, rows=3 + 9 + 2)
+        n_steps += (B // Bt) * (Dp // KD) * 3   # emissions+forward+backward
+    for i in set(instances):
+        for (_p, _t, _e, wb, _c, *_r) in pieces_of[i]:
+            widths.append(float(np.mean((wb.xmyR - wb.xmyL) // 2 + 1)))
+    log(f"bench - utilization: ~{n_steps} sequential grid steps "
+        f"({dt/n_steps*1e6:.1f} us/step), mean true band width "
+        f"{np.mean(widths):.0f} of W=128 lanes "
+        f"({100*np.mean(widths)/128:.0f}% lane occupancy) -> the VPU-latency "
+        f"wall binds at ~{events_per_sec/1e6:.1f}M ev/s; doubling needs "
+        f"lane-packing 2 problems/vreg, not more batch (grid steps are "
+        f"serial) nor HBM (see GB/s above)")
+
     # --- end-to-end reads/s (BASELINE.md primary metric): the CLI path —
     # anchor handling, split/window construction, host packing, device
     # batches, pair extraction — on a diverse read set: both real fixture

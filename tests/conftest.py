@@ -24,3 +24,19 @@ import jax
 if not os.environ.get("CPECAN_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+
+
+def truncated_zymo_npread(n_2d: int = 350):
+    """The real Zymo fixture truncated to its first ``n_2d`` 2D-read bases
+    (event maps sliced consistently; event arrays keep full length — the
+    prep paths slice them through the maps).  Interpret-mode Pallas wall
+    clock scales with the diagonal count, so plumbing tests run on this
+    sub-read; full strands run on the real chip via bench.py."""
+    from cpecan_signal_tpu.io.npread import NanoporeRead, load_npread
+
+    npr = load_npread("/root/reference/tests/test_npReads/ZymoC_ch_1_file1.npRead")
+    return NanoporeRead(n_2d, npr.twoD_read[:n_2d], npr.template_params,
+                        npr.complement_params,
+                        npr.template_event_map[:n_2d], npr.template_events,
+                        npr.complement_event_map[:n_2d],
+                        npr.complement_events)

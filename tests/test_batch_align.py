@@ -21,8 +21,10 @@ CMODEL = "/root/reference/models/complement_median68pA_pop2.model"
 
 
 def _compare(sm_type):
+    from conftest import truncated_zymo_npread
+
     contig, ref_seq = read_first_sequence(REF)
-    npread = load_npread(NPREAD)
+    npread = truncated_zymo_npread(380)
     tmodel = load_pore_model(TMODEL)
     cmodel = load_pore_model(CMODEL)
     params = AlignmentParams()

@@ -46,7 +46,7 @@ def test_hdp_device_estep_matches_host(small_nhdp):
     params = AlignmentParams()
     threshold = 0.01
     rng = np.random.default_rng(2)
-    cases = [_fixture_problem(rng, nhdp, n) for n in (50, 64)]
+    cases = [_fixture_problem(rng, nhdp, n) for n in (42, 54)]
 
     density = nhdp.density_logp_fn()
     jobs = []
@@ -91,7 +91,7 @@ def test_hdp_device_estep_trained_transitions(small_nhdp):
     params = AlignmentParams()
     threshold = 0.01
     rng = np.random.default_rng(4)
-    target, events, anchors = _fixture_problem(rng, nhdp, 56)
+    target, events, anchors = _fixture_problem(rng, nhdp, 46)
     density = nhdp.density_logp_fn()
 
     make_sm = lambda t, e, _d=density: make_signal_sm3_hdp(_d, t, e)

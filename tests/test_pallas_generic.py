@@ -83,6 +83,6 @@ def test_pallas_echelon_matches_window_engine():
     # 48 bases: echelon's 7 states x multi-kmer channels make this the
     # suite's most expensive interpret-mode kernel; smaller fixture, same
     # code paths (multi-kmer emissions, Poisson duration channels)
-    pore, target, events, wband = _synthetic(n_bases=48, seed=3)
+    pore, target, events, wband = _synthetic(n_bases=36, seed=3)
     sm = make_signal_echelon(pore, target, events)
     _check_machine(sm, wband)

@@ -30,19 +30,26 @@ def _rows(path):
 
 
 def test_cross_read_batch_matches_serial(tmp_path):
+    from conftest import truncated_zymo_npread
+
+    from cpecan_signal_tpu.io.npread import write_npread
+
     contig, ref_seq = read_first_sequence(REF)
     params = AlignmentParams()
-    # two "reads" (same fixture twice under different labels via symlinks)
+    # two "reads" (the truncated fixture twice under different labels)
+    p1 = tmp_path / "read.npRead"
+    write_npread(str(p1), truncated_zymo_npread(380))
+    NPREAD_T = str(p1)
     p2 = tmp_path / "copy.npRead"
-    os.symlink(NPREAD, p2)
+    os.symlink(NPREAD_T, p2)
     out_b = str(tmp_path / "b" / "posteriors.tsv")
     out_s = str(tmp_path / "s" / "posteriors.tsv")
     os.makedirs(os.path.dirname(out_b))
     os.makedirs(os.path.dirname(out_s))
     work_b = [(p, ref_seq, contig, TMODEL, CMODEL, params, "threeState",
-               out_b, None, None) for p in (NPREAD, str(p2))]
+               out_b, None, None) for p in (NPREAD_T, str(p2))]
     work_s = [(p, ref_seq, contig, TMODEL, CMODEL, params, "threeState",
-               out_s, None, None) for p in (NPREAD, str(p2))]
+               out_s, None, None) for p in (NPREAD_T, str(p2))]
 
     res_b = _batch_align_all(work_b)
     res_s = [_align_one(w) for w in work_s]
