@@ -479,10 +479,17 @@ def main():
     log(f"bench - utilization: ~{n_steps} sequential grid steps "
         f"({dt/n_steps*1e6:.1f} us/step), mean true band width "
         f"{np.mean(widths):.0f} of W=128 lanes "
-        f"({100*np.mean(widths)/128:.0f}% lane occupancy) -> the VPU-latency "
-        f"wall binds at ~{events_per_sec/1e6:.1f}M ev/s; doubling needs "
-        f"lane-packing 2 problems/vreg, not more batch (grid steps are "
-        f"serial) nor HBM (see GB/s above)")
+        f"({100*np.mean(widths)/128:.0f}% lane occupancy).  The kernel is "
+        f"VPU-ISSUE bound (~9 edges x ~17 vector ops x ~3 vregs ~= 460 "
+        f"vreg-ops per diagonal ~= the measured us/step), so throughput "
+        f"scales with useful lanes per vreg — more batch can't help (grid "
+        f"steps are serial at Bt >= 24) and HBM is idle (see GB/s above).  "
+        f"Lane-packing two W=64 problems per vreg is the only ~2x lever, "
+        f"but the reference's band geometry precludes it without coverage "
+        f"loss: expansion 20 gives 41-wide anchored bands, yet every piece "
+        f"also carries half-gap regions up to ~max_gap_min_dim/2 + 41 > 64 "
+        f"lanes wide, so W=64 windows would require tighter splits that "
+        f"drop more unanchored events than they pack.")
 
     # --- end-to-end reads/s (BASELINE.md primary metric): the CLI path —
     # anchor handling, split/window construction, host packing, device
@@ -549,6 +556,45 @@ def main():
         log(f"bench - long read: {len(lr[1])} bases, {len(lr[2])} events, "
             f"{len(jobs_lr)} split jobs, aligned in {ldt*1000:.0f} ms "
             f"({len(lr[2])/ldt:,.0f} ev/s, {n_lr} pairs)")
+
+    # --- nucleotide realignment throughput (cPecanRealign path): CIGAR
+    # records batched through the generic window Pallas path
+    # (cli.realign.realign_records_batched; ref cPecanRealign.c:556-645) ---
+    from cpecan_signal_tpu.anchor.seed_chain import get_anchor_pairs
+    from cpecan_signal_tpu.cli.realign import realign_records_batched
+    from cpecan_signal_tpu.core.amap import pairs_to_cigar_ops
+    from cpecan_signal_tpu.io.cigar import CigarRecord
+    from cpecan_signal_tpu.io.fasta import read_first_sequence
+
+    rngr = np.random.default_rng(13)
+    _, ref_seq2 = read_first_sequence(REF)
+    recs, seqs2 = [], {}
+    n_bases_re = 0
+    for i in range(24):
+        nb = int(rngr.integers(300, 900))
+        lo = int(rngr.integers(0, max(len(ref_seq2) - nb - 1, 1)))
+        sx = ref_seq2[lo:lo + nb]
+        sy = evolve_sequence(sx, rngr, 0.05, 0.02)
+        seqs2[f"x{i}"], seqs2[f"y{i}"] = sx, sy
+        anchors = get_anchor_pairs(sx, sy, k=12)
+        if len(anchors) < 2:
+            continue
+        prs = np.concatenate([np.ones((len(anchors), 1), dtype=np.int64),
+                              anchors], axis=1)
+        recs.append(CigarRecord(f"x{i}", 0, len(sx), True, f"y{i}", 0,
+                                len(sy), True, 0.0,
+                                pairs_to_cigar_ops(prs, len(sx), len(sy))))
+        n_bases_re += nb
+    _ = realign_records_batched(recs, seqs2, params)   # warm (compile)
+    rt = []
+    for _i in range(max(ITERS // 2, 1)):
+        t0 = time.perf_counter()
+        outs = realign_records_batched(recs, seqs2, params)
+        rt.append(time.perf_counter() - t0)
+    rdt2 = min(rt)
+    log(f"bench - realign (batched fiveState, generic pallas path): "
+        f"{len(recs)} CIGARs / {n_bases_re} bases in {rdt2*1000:.0f} ms "
+        f"({n_bases_re/rdt2:,.0f} bases/s, {len(recs)/rdt2:.1f} records/s)")
 
     if os.environ.get("BENCH_GIBBS", "1") != "0":
         gibbs_throughput()

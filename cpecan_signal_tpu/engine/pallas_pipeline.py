@@ -196,7 +196,10 @@ def run_sm3_pallas(plan: fb.EnginePlan, W: int, batch: SM3PallasProblem,
     single-problem buckets (unsplit long reads) pass a larger kd — the
     sequential grid-step count, not VMEM, binds there."""
     if kd is None:
-        kd = pk.KD
+        # interpret mode (CPU tests) is dominated by Python TRACING of the
+        # kd-unrolled kernel body; kd=2 quarters it (runtime is a compiled
+        # loop either way)
+        kd = 2 if interpret else pk.KD
     Dp = batch.diag_scalars.shape[1] - 1
     E = pk.emissions_sm3(batch.x0, batch.yr0, batch.xarr, batch.evr, W, Dp,
                          kd=kd, interpret=interpret)
@@ -330,12 +333,13 @@ def run_window_pallas(plan: fb.EnginePlan, W: int, batch: WindowPallasProblem,
     selecting the per-x windowed posterior groups (see
     ops/pallas_fb.backward_sm3).  With ``pgroups`` the p output instead
     carries per-edge-group posterior channels (B, Dp, P, W)."""
+    kd = 2 if interpret else pk.KD
     F = pk.forward_sm3(plan, batch.E, batch.diag_scalars, batch.d_last,
-                       batch.start, batch.tp_scalar, Bt=Bt, kd=pk.KD,
+                       batch.start, batch.tp_scalar, Bt=Bt, kd=kd,
                        interpret=interpret)
     p, totals, exits, gacc, stats = pk.backward_sm3(
         plan, batch.E, F, batch.diag_scalars, batch.d_last, batch.end,
-        batch.tp_scalar, Bt=Bt, kd=pk.KD, stages=stages, interpret=interpret,
+        batch.tp_scalar, Bt=Bt, kd=kd, stages=stages, interpret=interpret,
         wgroups=wgroups, pgroups=pgroups)
     p_out = p if pgroups is not None else p[:, :, 0, :]
     if stages >= 4:

@@ -78,10 +78,17 @@ def _dp_ladder(d: int) -> int:
 
 
 def _bucket_kd(Dp: int) -> int:
-    """Diagonals per grid step: kd=8 keeps VMEM free for wide Bt on batched
-    buckets; huge single-problem buckets (long reads) are bound by the
-    SEQUENTIAL grid-step count, so kd=32 quarters it."""
-    return 32 if Dp >= 8192 else 8
+    """Diagonals per grid step: kd=8 keeps VMEM free for wide Bt (24-48) on
+    small-Dp batched buckets — the round-3 sweep's winner for the pipeline
+    mix.  End-to-end read buckets are bound by the SEQUENTIAL grid-step
+    count instead (B <= 32 caps Bt anyway), so mid rungs halve the steps
+    with kd=16 (Bt still ~26 within the VMEM budget) and huge unsplit
+    long-read rungs quarter them again with kd=32."""
+    if Dp >= 8192:
+        return 32
+    if Dp >= 2048:
+        return 16
+    return 8
 
 
 # ---------------------------------------------------------------------------
@@ -99,7 +106,8 @@ def _dev_table_stack(bases: tuple):
 
     key = tuple(id(b) for b in bases)
     hit = _TABLE_CACHE.get(key)
-    if hit is not None and all(a is b for a, b in zip(hit[0], bases)):
+    if hit is not None and len(hit[0]) == len(bases) \
+            and all(a is b for a, b in zip(hit[0], bases)):
         return hit[1], hit[2]
     pads = list(bases) + [bases[0]] * (_NBASE - len(bases))
     mt = jnp.asarray(np.stack([np.asarray(b.match_model, np.float32)

@@ -162,8 +162,10 @@ def emissions_sm3(x0, yr0, xarr, evr, W: int, Dp: int, interpret: bool = False,
     Dpe = nd * kd
     if Bte is None:
         # keep the double-buffered xarr blocks within a few MB of VMEM
-        # (SMEM is no issue: the offset rows stream as 128-entry chunks)
-        Bte = max(1, min(8, (2 * 1024 * 1024) // (N_XPARAMS * lXp * 4)))
+        # (SMEM is no issue: the offset rows stream as 128-entry chunks);
+        # large-lXp (long-target) buckets are sequential-step bound, so the
+        # budget leans high to keep Bte (problems per step) up
+        Bte = max(1, min(8, (4 * 1024 * 1024) // (N_XPARAMS * lXp * 4)))
     while Bn % Bte:
         Bte -= 1
     # offset rows stream in as 128-entry SMEM chunks selected by the grid

@@ -25,6 +25,14 @@ if not os.environ.get("CPECAN_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
+# Interpret-mode Pallas tests are dominated by XLA COMPILE time of the
+# traced kernel bodies (the grids re-trace per shape), not by runtime; the
+# persistent compilation cache makes repeat suite runs compile-free.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def truncated_zymo_npread(n_2d: int = 350):
     """The real Zymo fixture truncated to its first ``n_2d`` 2D-read bases
