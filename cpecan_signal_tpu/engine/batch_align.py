@@ -126,26 +126,38 @@ def batch_align_jobs(jobs: list[SplitJob], threshold: float, *,
     wbands = [smooth_band(j.band, width_multiple=width_multiple) for j in jobs]
     out: list[AlignedPairs | None] = [None] * len(jobs)
 
-    # --- fast path: device-packed threeState jobs, fully async ---
+    # --- fast paths: device-packed threeState / symbol jobs, fully async ---
     staged = []
+    staged_sym = []
     generic: dict[tuple, list[int]] = {}
     for i, (j, wb) in enumerate(zip(jobs, wbands)):
         st = readpath.stage_fast_job(j, wb)
         if st is not None:
             fj, plan = st
             staged.append((i, fj, plan))
-        else:
-            generic.setdefault((j.sm.spec.name, wb.W, False), []).append(i)
+            continue
+        ss = readpath.stage_symbol_job(j, wb)
+        if ss is not None:
+            sj, plan = ss
+            staged_sym.append((i, sj, plan))
+            continue
+        generic.setdefault((j.sm.spec.name, wb.W, False), []).append(i)
+    fast: dict[int, object] = {}
     if staged:
-        fast = readpath.run_fast_jobs(staged, threshold, interpret=interpret,
-                                      timing=timing)
-        for ji, pairs in fast.items():
-            if pairs is None:
-                # capacity overflow: re-route through the full-grid path
-                generic.setdefault((jobs[ji].sm.spec.name, wbands[ji].W,
-                                    True), []).append(ji)
-            else:
-                out[ji] = pairs
+        fast.update(readpath.run_fast_jobs(staged, threshold,
+                                           interpret=interpret,
+                                           timing=timing))
+    if staged_sym:
+        fast.update(readpath.run_symbol_jobs(staged_sym, threshold,
+                                             interpret=interpret))
+    for ji, pairs in fast.items():
+        if pairs is None:
+            # capacity overflow: re-route through the full-grid path
+            generic.setdefault((jobs[ji].sm.spec.name, wbands[ji].W,
+                                hasattr(jobs[ji].sm, "sm3_pack")),
+                               []).append(ji)
+        else:
+            out[ji] = pairs
 
     if generic:
         _run_generic_buckets(jobs, wbands, generic, threshold, interpret, out)

@@ -393,9 +393,10 @@ def _chunk_sizes(n: int, Dp: int = 256) -> list[int]:
     while big > 1 and big * Dp > 512 * 1024:
         big //= 2
     out = []
-    while n >= big:
-        out.append(big)
-        n -= big
+    for s in sorted((b for b in _ALLOWED_B if b <= big), reverse=True):
+        while n >= s:
+            out.append(s)
+            n -= s
     if n > 0:
         out.append(next(b for b in _ALLOWED_B if b >= n))
     return out
@@ -537,4 +538,194 @@ def run_fast_jobs(staged: list[tuple[int, "_FastJob", object]],
         timing["device_wait"] = timing.get("device_wait", 0.0) + t_wait
         timing["host_extract"] = timing.get("host_extract", 0.0) \
             + (t2 - t1 - t_wait)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Symbol-machine (fiveState nucleotide) fast lane
+# ---------------------------------------------------------------------------
+# The cPecanRealign path's machines emit from tiny symbol tables (5x5 match,
+# 5 gap rows, stateMachine.c:60-194), so E is a pure gather of the per-cell
+# (sym_x, sym_y) codes — built on device from two small int arrays instead
+# of a host-packed (Dp, 3, W) grid, with the same compact pair extraction
+# and single-fetch collection as the threeState lane.
+
+@dataclass
+class _SymJob:
+    tab_key: bytes           # tables content hash (grouping)
+    match_t: np.ndarray      # (5, 5) f32
+    gapx_t: np.ndarray       # (5,) f32
+    gapy_t: np.ndarray       # (5,) f32
+    cx: np.ndarray           # (lX + 1,) int32 codes incl. x = -1 sentinel
+    cy: np.ndarray           # (lY + 1,) int32
+    wband: WindowBand
+    tp_scalar: np.ndarray
+    start: np.ndarray
+    end: np.ndarray
+    off_x: int
+    off_y: int
+
+
+def stage_symbol_job(job, wband: WindowBand):
+    """SplitJob with a bound symbol machine -> (_SymJob, plan), else None."""
+    sm = job.sm
+    codes = getattr(sm, "symbol_codes", None)
+    tables = getattr(sm, "symbol_tables", None)
+    if codes is None or tables is None:
+        return None
+    from .pallas_pipeline import _san
+
+    plan, tp_scalar, cell_sources = fb._build_plan(sm, "exact")
+    if cell_sources:
+        return None
+    match, gapx, gapy = tables
+    mt = _san(match)
+    gx = _san(gapx)
+    gy = _san(gapy)
+    key = mt.tobytes() + gx.tobytes() + gy.tobytes()
+    cx, cy = codes
+    return _SymJob(
+        tab_key=key, match_t=mt, gapx_t=gx, gapy_t=gy,
+        cx=np.asarray(cx, dtype=np.int32), cy=np.asarray(cy, dtype=np.int32),
+        wband=wband, tp_scalar=_san(tp_scalar),
+        start=_san(sm.ragged_start if job.ragged_left else sm.start),
+        end=_san(sm.ragged_end if job.ragged_right else sm.end),
+        off_x=job.off_x, off_y=job.off_y), plan
+
+
+@lru_cache(maxsize=256)
+def _sym_bucket_fn(plan, W, Dp, Lc, B, K, n_tp, S, threshold, interpret):
+    import jax
+
+    from . import pallas_pipeline as pp
+
+    def run(mt, gx, gy, ints, flts):
+        import jax.numpy as jnp
+
+        from ..ops import pallas_fb as pk
+
+        # ints (B, 2*Lc + 3*Dp + 2): [cx | cy | win | lY, d_last]
+        cxp = ints[:, :Lc]
+        cyp = ints[:, Lc:2 * Lc]
+        win = ints[:, 2 * Lc:2 * Lc + 3 * Dp].reshape(-1, 3, Dp)
+        lY = ints[:, -2]
+        d_last = ints[:, -1]
+        tps = flts[:, :n_tp]
+        start = flts[:, n_tp:n_tp + S]
+        end = flts[:, n_tp + S:n_tp + 2 * S]
+
+        Lq = Dp + 2 * W + 128
+        ds, _x0, _yr0 = _pack_ds(win, lY, W, Lq, Lq)
+        w0 = win[:, 0, :]
+        d = jnp.arange(Dp, dtype=jnp.int32)[None, :, None]
+        j = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+        xmy = w0[:, :, None] + 2 * j
+        x = (d + xmy) // 2
+        y = (d - xmy) // 2
+        rows = jnp.arange(cxp.shape[0], dtype=jnp.int32)[:, None, None]
+        ix = cxp[rows, jnp.clip(x, 0, Lc - 1)]
+        iy = cyp[rows, jnp.clip(y, 0, Lc - 1)]
+        live = d <= d_last[:, None, None]
+        z = jnp.float32(0.0)
+        chans = [jnp.where(live, gx[ix], z),
+                 jnp.where(live, mt[ix, iy], z),
+                 jnp.where(live, gy[iy], z)]      # class order gapx/match/gapy
+        kd = 2 if interpret else pk.KD
+        E = jnp.stack(chans, axis=2)
+        E = jnp.concatenate(
+            [E, jnp.zeros((E.shape[0], kd, 3, W), jnp.float32)], axis=1)
+        prob = pp.WindowPallasProblem(
+            E=E, diag_scalars=ds, d_last=d_last, start=start, end=end,
+            tp_scalar=tps, x0=_x0)
+        p, _tot = pp.run_window_pallas(plan, W, prob, stages=3,
+                                       interpret=interpret)
+        cnt, outq, outi = _extract_compact(p, threshold, K)
+        return jnp.concatenate([cnt[:, None], outq, outi], axis=1)
+
+    return run if interpret else jax.jit(run)
+
+
+def run_symbol_jobs(staged: list[tuple[int, "_SymJob", object]],
+                    threshold: float, *, interpret: bool) -> dict[int, tuple]:
+    """Symbol-lane analogue of run_fast_jobs: group, chunk, dispatch all
+    async, single concatenated fetch, host decode."""
+    import jax.numpy as jnp
+
+    groups: dict[tuple, list[int]] = {}
+    for si, (ji, sj, plan) in enumerate(staged):
+        key = (plan, sj.wband.W, _dp_ladder(sj.wband.n_diagonals + 2),
+               sj.tab_key)
+        groups.setdefault(key, []).append(si)
+
+    pending = []
+    for key, sidx in groups.items():
+        plan, W, Dpq, _tk = key
+        Dp = _round_up(Dpq, 8)
+        Lc = Dp + 2
+        K = min(Dp * W, _round_up(max(2 * Dp, 512), 128))
+        sj0 = staged[sidx[0]][1]
+        mt = jnp.asarray(sj0.match_t)
+        gx = jnp.asarray(sj0.gapx_t)
+        gy = jnp.asarray(sj0.gapy_t)
+        n_tp = len(sj0.tp_scalar)
+        S = len(sj0.start)
+        n_int = 2 * Lc + 3 * Dp + 2
+        n_flt = n_tp + 2 * S
+        pos = 0
+        for B in _chunk_sizes(len(sidx), Dp):
+            chunk = sidx[pos:pos + B]
+            pos += len(chunk)
+            idxs = chunk + [chunk[-1]] * (B - len(chunk))
+            ints = np.full((B, n_int), 4, dtype=np.int32)   # 4 = N sentinel
+            flts = np.zeros((B, n_flt), dtype=np.float32)
+            for bi, si in enumerate(idxs):
+                sj = staged[si][1]
+                ints[bi, :len(sj.cx)] = sj.cx
+                ints[bi, len(sj.cx):Lc] = 4
+                ints[bi, Lc:Lc + len(sj.cy)] = sj.cy
+                ints[bi, Lc + len(sj.cy):2 * Lc] = 4
+                ints[bi, 2 * Lc:2 * Lc + 3 * Dp] = \
+                    pad_window(sj.wband, Dp).ravel()
+                ints[bi, -2] = len(sj.cy) - 1
+                ints[bi, -1] = sj.wband.n_diagonals - 1
+                flts[bi, :n_tp] = sj.tp_scalar
+                flts[bi, n_tp:n_tp + S] = sj.start
+                flts[bi, n_tp + S:] = sj.end
+            fn = _sym_bucket_fn(plan, W, Dp, Lc, B, K, n_tp, S,
+                                float(threshold), interpret)
+            handle = fn(mt, gx, gy, ints, flts)
+            pending.append((chunk, handle, W, Dp, K))
+
+    packed_of: list[np.ndarray] = []
+    if len(pending) > 1 and not interpret:
+        flats = [h.ravel() for (_c, h, *_r) in pending]
+        combined = np.asarray(jnp.concatenate(flats))
+        off = 0
+        for (_chunk, handle, *_r) in pending:
+            n = handle.size
+            packed_of.append(combined[off:off + n].reshape(handle.shape))
+            off += n
+    else:
+        packed_of = [np.asarray(h) for (_c, h, *_r) in pending]
+
+    out: dict[int, tuple] = {}
+    for (chunk, _handle, W, Dp, K), packed in zip(pending, packed_of):
+        cnt = packed[:, 0]
+        outq = packed[:, 1:1 + K]
+        outi = packed[:, 1 + K:]
+        for bi, si in enumerate(chunk):
+            ji, sj, _plan = staged[si]
+            n = int(cnt[bi])
+            if n > K:
+                out[ji] = None
+                continue
+            fi = outi[bi, :n].astype(np.int64)
+            d = fi // W
+            j = fi - d * W
+            w0 = pad_window(sj.wband, Dp)[0].astype(np.int64)
+            xmy = w0[d] + 2 * j
+            x = (d + xmy) >> 1
+            y = (d - xmy) >> 1
+            out[ji] = AlignedPairs(outq[bi, :n].astype(np.int64),
+                                   x - 1 + sj.off_x, y - 1 + sj.off_y)
     return out

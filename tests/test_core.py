@@ -202,3 +202,34 @@ class TestBandVectorized:
                 assert (wb.w0 <= band.xmyL).all()
                 assert (wb.w0 + 2 * (wb.W - 1) >= band.xmyR).all()
                 assert wb.W % mult == 0 and wb.W >= band.max_width
+
+
+class TestReadpathBucketing:
+    """Host-side bucketing rules of the device-packed read path
+    (engine/readpath): Dp ladder rungs and HBM-bounded chunk sizes — the
+    long-read scaling seams (a 50 kb unsplit read is ~100k diagonals)."""
+
+    def test_dp_ladder(self):
+        from cpecan_signal_tpu.engine.readpath import _dp_ladder
+        assert _dp_ladder(100) == 256
+        assert _dp_ladder(1000) == 1024
+        assert _dp_ladder(1025) == 2048
+        assert _dp_ladder(5800) == 8192
+        assert _dp_ladder(16384) == 16384
+        assert _dp_ladder(103000) == 106496   # 8192-multiples above 16384
+        for d in (1, 300, 2049, 9000, 40000, 103000):
+            rung = _dp_ladder(d)
+            assert rung >= d and rung % 32 == 0  # kd=16/32 blocking needs it
+
+    def test_chunk_sizes_hbm_bound(self):
+        from cpecan_signal_tpu.engine.readpath import (_chunk_sizes,
+                                                       _bucket_kd)
+        assert sum(_chunk_sizes(13, 512)) >= 13
+        assert _chunk_sizes(200, 256) == [128, 64, 8]
+        # huge-Dp buckets shrink the chunk cap so E/F fit HBM
+        for Dp in (8192, 32768, 106496):
+            for B in _chunk_sizes(13, Dp):
+                assert B * Dp <= 512 * 1024 or B == 1
+        assert _chunk_sizes(1, 106496) == [1]
+        assert _bucket_kd(106496) == 32 and _bucket_kd(4096) == 16 \
+            and _bucket_kd(512) == 8
