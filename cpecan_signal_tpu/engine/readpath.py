@@ -402,6 +402,51 @@ def _chunk_sizes(n: int, Dp: int = 256) -> list[int]:
     return out
 
 
+
+def _collect_packed(pending, interpret):
+    """ONE device->host fetch for all pending buckets: every per-bucket
+    fetch pays a full tunnel round trip (~27 ms) even with
+    copy_to_host_async, so the packed outputs are concatenated on device
+    and split on host."""
+    if len(pending) > 1 and not interpret:
+        import jax.numpy as jnp
+
+        flats = [h.ravel() for (_c, h, *_r) in pending]
+        combined = np.asarray(jnp.concatenate(flats))
+        out = []
+        off = 0
+        for (_c, handle, *_r) in pending:
+            n = handle.size
+            out.append(combined[off:off + n].reshape(handle.shape))
+            off += n
+        return out
+    return [np.asarray(h) for (_c, h, *_r) in pending]
+
+
+def _decode_packed(packed, chunk, staged, W, Dp, K, out):
+    """Per-job pair decode from a bucket's packed block: flat cell index ->
+    (x, y) via the job's window left edges; count > K marks capacity
+    overflow (full-grid fallback)."""
+    cnt = packed[:, 0]
+    outq = packed[:, 1:1 + K]
+    outi = packed[:, 1 + K:]
+    for bi, si in enumerate(chunk):
+        ji, job, _plan = staged[si]
+        n = int(cnt[bi])
+        if n > K:
+            out[ji] = None
+            continue
+        fi = outi[bi, :n].astype(np.int64)
+        d = fi // W
+        j = fi - d * W
+        w0 = pad_window(job.wband, Dp)[0].astype(np.int64)
+        xmy = w0[d] + 2 * j
+        x = (d + xmy) >> 1
+        y = (d - xmy) >> 1
+        out[ji] = AlignedPairs(outq[bi, :n].astype(np.int64),
+                               x - 1 + job.off_x, y - 1 + job.off_y)
+
+
 def run_fast_jobs(staged: list[tuple[int, "_FastJob", object]],
                   threshold: float, *, interpret: bool,
                   timing: dict | None = None) -> dict[int, tuple]:
@@ -489,49 +534,13 @@ def run_fast_jobs(staged: list[tuple[int, "_FastJob", object]],
                 pending.append((chunk, handle, W, Dp, K))
 
     t1 = _time.perf_counter()
-    # ONE device->host fetch for the whole read set: every per-bucket fetch
-    # pays a full tunnel round trip (~27 ms) even with copy_to_host_async,
-    # so the packed outputs are concatenated on device and split on host
-    t_wait = 0.0
-    packed_of: list[np.ndarray] = []
-    if len(pending) > 1 and not interpret:
-        import jax.numpy as jnp
-
-        flats = [h.ravel() for (_c, h, *_r) in pending]
-        tw = _time.perf_counter()
-        combined = np.asarray(jnp.concatenate(flats))
-        t_wait += _time.perf_counter() - tw
-        off = 0
-        for (chunk, handle, W, Dp, K) in pending:
-            n = handle.size
-            packed_of.append(combined[off:off + n].reshape(handle.shape))
-            off += n
-    else:
-        for (_c, handle, *_r) in pending:
-            tw = _time.perf_counter()
-            packed_of.append(np.asarray(handle))
-            t_wait += _time.perf_counter() - tw
+    tw = _time.perf_counter()
+    packed_of = _collect_packed(pending, interpret)
+    t_wait = _time.perf_counter() - tw
 
     out: dict[int, tuple] = {}
-    for (chunk, handle, W, Dp, K), packed in zip(pending, packed_of):
-        cnt = packed[:, 0]
-        outq = packed[:, 1:1 + K]
-        outi = packed[:, 1 + K:]
-        for bi, si in enumerate(chunk):
-            ji, fj, _plan = staged[si]
-            n = int(cnt[bi])
-            if n > K:
-                out[ji] = None        # capacity overflow: full-grid fallback
-                continue
-            fi = outi[bi, :n].astype(np.int64)
-            d = fi // W
-            j = fi - d * W
-            w0 = pad_window(fj.wband, Dp)[0].astype(np.int64)
-            xmy = w0[d] + 2 * j
-            x = (d + xmy) >> 1
-            y = (d - xmy) >> 1
-            out[ji] = AlignedPairs(outq[bi, :n].astype(np.int64),
-                                   x - 1 + fj.off_x, y - 1 + fj.off_y)
+    for (chunk, _handle, W, Dp, K), packed in zip(pending, packed_of):
+        _decode_packed(packed, chunk, staged, W, Dp, K, out)
     if timing is not None:
         t2 = _time.perf_counter()
         timing["host_pack"] = timing.get("host_pack", 0.0) + (t1 - t0)
@@ -696,36 +705,8 @@ def run_symbol_jobs(staged: list[tuple[int, "_SymJob", object]],
             handle = fn(mt, gx, gy, ints, flts)
             pending.append((chunk, handle, W, Dp, K))
 
-    packed_of: list[np.ndarray] = []
-    if len(pending) > 1 and not interpret:
-        flats = [h.ravel() for (_c, h, *_r) in pending]
-        combined = np.asarray(jnp.concatenate(flats))
-        off = 0
-        for (_chunk, handle, *_r) in pending:
-            n = handle.size
-            packed_of.append(combined[off:off + n].reshape(handle.shape))
-            off += n
-    else:
-        packed_of = [np.asarray(h) for (_c, h, *_r) in pending]
-
+    packed_of = _collect_packed(pending, interpret)
     out: dict[int, tuple] = {}
     for (chunk, _handle, W, Dp, K), packed in zip(pending, packed_of):
-        cnt = packed[:, 0]
-        outq = packed[:, 1:1 + K]
-        outi = packed[:, 1 + K:]
-        for bi, si in enumerate(chunk):
-            ji, sj, _plan = staged[si]
-            n = int(cnt[bi])
-            if n > K:
-                out[ji] = None
-                continue
-            fi = outi[bi, :n].astype(np.int64)
-            d = fi // W
-            j = fi - d * W
-            w0 = pad_window(sj.wband, Dp)[0].astype(np.int64)
-            xmy = w0[d] + 2 * j
-            x = (d + xmy) >> 1
-            y = (d - xmy) >> 1
-            out[ji] = AlignedPairs(outq[bi, :n].astype(np.int64),
-                                   x - 1 + sj.off_x, y - 1 + sj.off_y)
+        _decode_packed(packed, chunk, staged, W, Dp, K, out)
     return out
