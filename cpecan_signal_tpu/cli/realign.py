@@ -13,7 +13,6 @@ import sys
 
 import numpy as np
 
-from ..constants import PAIR_ALIGNMENT_PROB_1
 from ..core import amap
 from ..core.anchors import cigar_to_anchor_pairs, filter_to_remove_overlap
 from ..em.accumulators import DiscreteHmm

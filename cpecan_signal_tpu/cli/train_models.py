@@ -73,6 +73,17 @@ def _prepare_read(ref_seq, npread, params, descale=False):
 
 
 _worker_caches: dict = {"model": {}, "density": {}}
+_pool_reads: list = []   # per-worker read preps, shipped ONCE via initargs
+
+
+def _pool_init(reads):
+    """--jobs worker initializer: the read preps (events arrays and all)
+    are pickled once per worker here instead of once per work item
+    (VERDICT r3 weak #8 — per-task prep pickling crawls at 500 reads)."""
+    global _pool_reads
+    _pool_reads = reads
+    from ..utils.platform import ensure_host_platform
+    ensure_host_platform()
 
 
 def _strand_estep(prep, strand, sm_type, model_path, state, params,
@@ -106,11 +117,11 @@ def _strand_estep(prep, strand, sm_type, model_path, state, params,
 
 
 def _pool_estep(args):
-    """Worker for --jobs: one read-strand's tallies from picklable inputs."""
-    (prep, strand, sm_type, model_path, state, params,
+    """Worker for --jobs: one read-strand's tallies; the read itself comes
+    from the per-worker _pool_reads (initargs), keyed by index."""
+    (read_idx, strand, sm_type, model_path, state, params,
      assignment_threshold, hdp_path) = args
-    from ..utils.platform import ensure_host_platform
-    ensure_host_platform()
+    prep = _pool_reads[read_idx]
     density = None
     if hdp_path is not None:
         key = (hdp_path, os.path.getmtime(hdp_path))
@@ -282,8 +293,9 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
                     cand = os.path.join(out_dir, f"{name}_trained.nhdp")
                     if os.path.exists(cand):
                         hp = cand
-                args = [(prep, strand, sm_type, model_paths[strand], st,
-                         params, assignment_threshold, hp) for prep in reads]
+                args = [(ri, strand, sm_type, model_paths[strand], st,
+                         params, assignment_threshold, hp)
+                        for ri in range(len(reads))]
                 # spawned children must come up CPU-only: an accelerator
                 # plugin registering at child startup would fight the
                 # parent for the device
@@ -292,7 +304,8 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
                 os.environ["PALLAS_AXON_POOL_IPS"] = ""
                 os.environ["JAX_PLATFORMS"] = "cpu"
                 try:
-                    with ctx.Pool(jobs) as pool:
+                    with ctx.Pool(jobs, initializer=_pool_init,
+                                  initargs=(reads,)) as pool:
                         for r in pool.imap_unordered(_pool_estep, args):
                             if r is not None:
                                 acc.add(r)

@@ -270,7 +270,6 @@ def build_vanilla_em_buckets(jobs: list[EmJob], strand: str, *,
     import jax.numpy as jnp
 
     from ..constants import N_SKIP_BINS
-    from ..core.window import WindowBand
     from ..engine import pallas_pipeline as pp
     from ..engine.window import window_grids
     from ..models.state_machines import make_signal_vanilla
