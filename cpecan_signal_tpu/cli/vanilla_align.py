@@ -404,7 +404,10 @@ def main(argv=None):
               file=sys.stderr)
         return 1
 
-    out_fh = open(args.posteriors, "a") if args.posteriors else None
+    # "w", not "a": re-running into an existing file must not duplicate rows
+    # (the reference writes a fresh per-read temp file per invocation,
+    # nanoporeLib.py:883-966, so append semantics were never load-bearing)
+    out_fh = open(args.posteriors, "w") if args.posteriors else None
     try:
         res = align_read(ref_seq, contig, npread, tmodel, cmodel, params,
                          sm_type=sm_type, guide=guide, substitute=args.substitute,

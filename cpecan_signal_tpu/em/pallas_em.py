@@ -384,6 +384,7 @@ class HdpEmBucket:
     ragged_left: np.ndarray
     ragged_right: np.ndarray
     step: Callable
+    jobs: list                # per-problem EmJob (host-fallback on overflow)
 
 
 def _hdp_iteration_arrays(transitions: dict | None):
@@ -485,7 +486,9 @@ def collect_hdp_em_jobs(reads: list[dict], params: AlignmentParams,
 
 def build_hdp_em_buckets(jobs: list[EmJob], *, width_multiple: int = 128,
                          interpret: bool | None = None,
-                         threshold: float = 0.01) -> list[HdpEmBucket]:
+                         threshold: float = 0.01,
+                         max_assignments: int | None = None
+                         ) -> list[HdpEmBucket]:
     import jax
     import jax.numpy as jnp
 
@@ -534,7 +537,8 @@ def build_hdp_em_buckets(jobs: list[EmJob], *, width_multiple: int = 128,
             uniq = np.unique(rank_orig)
             remap = np.searchsorted(uniq, rank_orig).astype(np.int32)
             Dpq = probs[0].diag_scalars.shape[0] - 1
-            K = min(Dpq * W, 4 * Dpq + 512)
+            K = (min(Dpq * W, 4 * Dpq + 512) if max_assignments is None
+                 else max_assignments)
             step = _make_hdp_step(plan, W, Dpq, Lc, K, threshold, interpret)
             buckets.append(HdpEmBucket(
                 plan=plan, W=W, Dp=Dpq, batch=pp.stack_problems(probs),
@@ -542,8 +546,39 @@ def build_hdp_em_buckets(jobs: list[EmJob], *, width_multiple: int = 128,
                 meanp=jnp.asarray(np.stack(means_l)), uniq=uniq, w0s=w0s,
                 ragged_left=np.array([jobs[i].ragged_left for i in chunk]),
                 ragged_right=np.array([jobs[i].ragged_right for i in chunk]),
-                step=step))
+                step=step, jobs=[jobs[i] for i in chunk]))
     return buckets
+
+
+def _hdp_host_job(job: EmJob, nhdp, transitions: dict | None, threshold: float):
+    """Host f64 E-step for a single split job — the overflow fallback for
+    hdp_em_step.  Returns (trans (3,3), likelihood, kmers, means).  The host
+    path queries the spline density directly (vs the device's table
+    interpolation), matching the host --engine=host numerics."""
+    import jax.numpy as jnp
+
+    from ..core.kmers import rank_to_kmer
+    from ..engine import expectations as exp_kernels
+    from ..models.state_machines import make_signal_sm3_hdp
+
+    density = nhdp.density_logp_fn()
+    sm = make_signal_sm3_hdp(density, job.target, job.events, transitions)
+    plan, inp = fb.prepare_inputs(sm, job.band, ragged_left=job.ragged_left,
+                                  ragged_right=job.ragged_right,
+                                  dtype=jnp.float64)
+    F = fb.forward(plan, inp)
+    B = fb.backward(plan, inp)
+    trans, lik, masks, ranks, means = exp_kernels.hdp_expectations(
+        plan, inp, F, B, threshold)
+    masks = np.asarray(masks)
+    ranks = np.asarray(ranks)
+    means = np.asarray(means)
+    kmers_out, means_out = [], []
+    for m in masks:
+        for d, k in np.argwhere(m):
+            kmers_out.append(rank_to_kmer(int(ranks[d, k])))
+            means_out.append(float(means[d, k]))
+    return np.asarray(trans), float(lik), kmers_out, means_out
 
 
 def hdp_em_step(buckets: list[HdpEmBucket], nhdp, transitions: dict | None,
@@ -551,8 +586,9 @@ def hdp_em_step(buckets: list[HdpEmBucket], nhdp, transitions: dict | None,
     """One full threeStateHdp E-step over all buckets against the CURRENT
     HDP densities + transitions.  Returns (trans (3,3), likelihood,
     kmer_assignments list, event_assignments list) summed/concatenated in
-    bucket-job order (matching the host driver's read/split/edge/cell
-    order)."""
+    deterministic bucket order (buckets are regrouped by window width, so
+    the concatenation order differs from the host driver's read/split order;
+    both are valid sampling orders for the downstream Gibbs chain)."""
     import jax.numpy as jnp
 
     from ..core.kmers import rank_to_kmer
@@ -582,6 +618,18 @@ def hdp_em_step(buckets: list[HdpEmBucket], nhdp, transitions: dict | None,
         stats = packed[:, :128]
         K = (packed.shape[1] - 128) // 3 - 1
         for bi in range(len(b.w0s)):
+            # An over-dense problem can exceed the K-slot assignment buffer;
+            # re-route that one job through the host f64 engine (the same
+            # fallback shape as the alignment fast lane's full-grid re-route,
+            # engine/batch_align.py) instead of aborting the training run.
+            if any(int(packed[bi, 128 + c * (K + 1)]) > K for c in range(3)):
+                h_tr, h_lik, h_k, h_m = _hdp_host_job(
+                    b.jobs[bi], nhdp, transitions, threshold)
+                trans_sum += h_tr
+                lik_sum += h_lik
+                kmers.extend(h_k)
+                means_out.extend(h_m)
+                continue
             for ei, e in enumerate(b.plan.edges):
                 trans_sum[e.frm, e.to] += stats[bi, ei]
             lik_sum += float(stats[bi, pk.LIK_LANE])
@@ -590,10 +638,6 @@ def hdp_em_step(buckets: list[HdpEmBucket], nhdp, transitions: dict | None,
             for c in range(3):
                 off = 128 + c * (K + 1)
                 cnt = int(packed[bi, off])
-                if cnt > K:
-                    raise RuntimeError(
-                        f"HDP assignment capacity overflow ({cnt} > {K}); "
-                        "raise assignment_threshold or use the host engine")
                 fi = packed[bi, off + 1:off + 1 + cnt].astype(np.int64)
                 d = fi // b.W
                 j = fi - d * b.W

@@ -26,7 +26,11 @@ On device (plain jnp feeding the unchanged Pallas kernels):
   * posterior-pair extraction: threshold mask -> cumsum compaction into a
     fixed-capacity buffer, probabilities pre-quantized to int(p * 1e7)
     (PAIR_ALIGNMENT_PROB_1, pairwiseAligner.h:26) with the same f32
-    arithmetic as the host extractor, so output is identical.
+    arithmetic as the host extractor, so output is identical up to f32
+    rounding at the threshold boundary (the device gathers f32 copies of
+    the model tables and applies scale/Gauss packing in f32; the host
+    scales in f64 and casts after, so a pair sitting exactly on the
+    threshold or a quantized prob can differ by 1 ulp).
 
 All dispatches are asynchronous: every bucket is queued before any result is
 awaited, and device->host copies are started for all buckets before the

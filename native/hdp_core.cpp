@@ -113,8 +113,13 @@ inline double log_post_term_m(HDP* h, double nu_post, double two_alpha_post,
                               double beta_post) {
     double kf = nu_post - h->nu;
     int64_t k = (int64_t)(kf + 0.5);
-    if (k >= 0 && std::fabs(kf - (double)k) < 1e-6) {
-        if ((size_t)k >= h->lg_memo.size()) h->grow_memos((size_t)k);
+    // NEVER grows the memo here: this runs inside OpenMP parallel regions
+    // (sample_from_data_pt / sample_from_middle / unobserved_factor_likelihood)
+    // and a concurrent resize would invalidate storage other threads read.
+    // The memos are pre-grown serially (hdp_gibbs) to cover every reachable
+    // offset; anything beyond falls back to the exact unmemoized form.
+    if (k >= 0 && std::fabs(kf - (double)k) < 1e-6
+        && (size_t)k < h->lg_memo.size()) {
         return h->lg_memo[k]
                - 0.5 * (h->ln_memo[k] + two_alpha_post * std::log(beta_post));
     }
@@ -1052,6 +1057,10 @@ void hdp_set_data(void* hv, const double* data, const int64_t* dp_ids, int64_t n
 void hdp_gibbs(void* hv, int64_t num_samples, int64_t burn_in, int64_t thinning,
                int verbose) {
     HDP* h = (HDP*)hv;
+    // Pre-grow the lgamma/log memos serially before any parallel region.
+    // nu advances from the prior by at most the number of data points that
+    // can sit under one factor, i.e. the total data count.
+    h->grow_memos(h->data.size() + 64);
     int64_t iter = 0, samples = 0, sweep = 0;
     std::vector<DP*> order;
     for (auto& dp : h->dps) order.push_back(&dp);

@@ -31,6 +31,10 @@ def test_vanilla_align_cli(tmp_path):
     # complement rows mirror into the same window
     cpos = [int(r[1]) for r in rows if r[4] == "c"]
     assert min(cpos) >= 0 and max(cpos) < 897
+    # re-running into the same file must overwrite, not append
+    rc = main(["-r", REF, "-q", NPREAD, "-s", "-u", tsv, "-L", "zymo1"])
+    assert rc == 0
+    assert sum(1 for _ in open(tsv)) == len(rows)
 
 
 def test_train_models_monotone(tmp_path):

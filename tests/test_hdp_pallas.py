@@ -117,3 +117,35 @@ def test_hdp_device_estep_trained_transitions(small_nhdp):
                                atol=1e-3)
     assert abs(lik_d - acc1.likelihood) < 5e-3 * max(abs(acc1.likelihood), 1)
     assert len(kmers_d) == acc1.n_assignments
+
+def test_hdp_overflow_falls_back_to_host(small_nhdp):
+    """An over-capacity assignment buffer must re-route the job through the
+    host engine (not abort the run) and reproduce the host results exactly."""
+    nhdp = small_nhdp
+    params = AlignmentParams()
+    threshold = 0.01
+    rng = np.random.default_rng(2)
+    target, events, anchors = _fixture_problem(rng, nhdp, 42)
+    density = nhdp.density_logp_fn()
+
+    jobs = []
+    for (x1, y1, x2, y2), band, rl, rr in _split_loop(
+            len(target) - 5, len(events), anchors, params, True, True):
+        jobs.append(EmJob(None, target[x1:x2 + 5], events[y1:y2], band,
+                          rl, rr))
+    # K=1 assignment slot: every job with >1 match-posterior >= threshold
+    # overflows and must take the host fallback
+    buckets = build_hdp_em_buckets(jobs, interpret=True, threshold=threshold,
+                                   max_assignments=1)
+    trans_d, lik_d, kmers_d, means_d = hdp_em_step(buckets, nhdp, None,
+                                                   threshold)
+
+    make_sm = lambda t, e, _d=density: make_signal_sm3_hdp(_d, t, e)
+    acc = hdp_expectations(make_sm, target, events, anchors, params,
+                           threshold)
+    assert acc.n_assignments > 1          # overflow actually triggered
+    np.testing.assert_allclose(trans_d, acc.transitions, rtol=1e-9)
+    np.testing.assert_allclose(lik_d, acc.likelihood, rtol=1e-9)
+    assert sorted(kmers_d) == sorted(acc.kmer_assignments)
+    np.testing.assert_allclose(sorted(means_d),
+                               sorted(acc.event_assignments), rtol=1e-9)
