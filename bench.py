@@ -334,8 +334,13 @@ def main():
             sub_a = anchors_in_window(anchors, x1, y1, x2, y2)
             b = band_construct(sub_a, x2 - x1, y2 - y1,
                                params.diagonal_expansion)
-            pieces.append((pore, sub_t, sub_e, smooth_band(b, 128), y2 - y1,
-                           sub_a, mpath, sp))
+            # the production window choice: 64 lanes when the true band
+            # fits (half-packed kernel rows), else 128-multiples
+            wb = smooth_band(b, 64)
+            if wb.W != 64:
+                wb = smooth_band(b, 128)
+            pieces.append((pore, sub_t, sub_e, wb, y2 - y1,
+                           sub_a, mpath, sp, smooth_band(b, 128)))
         pieces_of.append(pieces)
         cov_ev += sum(p[4] for p in pieces)
         tot_ev += n
@@ -361,9 +366,12 @@ def main():
         while len(ids) % 32:
             ids.append(uniq[len(ids) % len(uniq)])
 
-    pipelines = []  # (W, batch, plan)
+    pipelines = []  # (W, batch, plan, paired)
     for (W, Dpb), ids in sorted(buckets.items()):
         uniq = sorted(set(ids))
+        paired = W == 64
+        if paired and len(ids) % 2:
+            ids.append(uniq[0])
         Dp = max(pieces_of[i][j][3].n_diagonals for i, j in uniq) + 2
         lxp = max(len(pieces_of[i][j][1]) for i, j in uniq)
         lyp = max(len(pieces_of[i][j][2]) for i, j in uniq)
@@ -375,62 +383,112 @@ def main():
                 pore, target, events, wb, pad_lx=lxp, pad_ly=lyp, pad_d=Dp)
         batch = pp.stack_problems([probs[t] for t in ids])
         log(f"bench - bucket W={W} Dp<={Dpb}: {len(ids)} pieces "
-            f"({len(uniq)} distinct), Dp={Dp}")
-        pipelines.append((W, batch, plan))
+            f"({len(uniq)} distinct), Dp={Dp}"
+            + (" [half-packed: 2 problems/vreg row]" if paired else ""))
+        pipelines.append((W, batch, plan, paired))
 
     # --- timing methodology: the TPU is reached over a network tunnel whose
-    # per-dispatch cost (~5 ms) and sync RTT (~25 ms) would swamp the chip
-    # time, so each measurement runs REPEAT back-to-back repetitions of the
-    # whole workload INSIDE one jit (lax.fori_loop over the pipeline, output
-    # checksum carried so nothing is dead-code-eliminated) and divides by
-    # REPEAT; min over ITERS outer runs. ---
-    REPEAT = int(os.environ.get("BENCH_REPEAT", "10"))
-
-    def repeat_jit(fn, batch):
-        def rep(b):
-            def body(_i, acc):
-                out = fn(b)
-                return acc + jnp.sum(jax.tree.leaves(out)[-1])
-            return jax.lax.fori_loop(0, REPEAT, body, 0.0)
-        return jax.jit(rep), batch
-
-    def measure(calls):
-        for fn, b in calls:
-            _ = np.asarray(fn(b))  # compile + warm
-        times = []
-        for _i in range(ITERS):
-            t0 = time.perf_counter()
-            accs = [fn(b) for fn, b in calls]
-            for a in accs:
-                _ = np.asarray(a)
-            times.append((time.perf_counter() - t0) / REPEAT)
-        return min(times)
+    # sync RTT (~25 ms) would swamp the chip time, so each measurement runs
+    # R back-to-back repetitions of the whole workload INSIDE one jit and
+    # reports the SLOPE between two repeat counts: dt = (t(R2) - t(R1)) /
+    # (R2 - R1), which cancels the fixed per-call overhead exactly.  Every
+    # iteration's input is perturbed by the carried accumulator (x + acc *
+    # 1e-30) so the loop body is NOT loop-invariant — without that, XLA
+    # hoists the whole pipeline out of the fori_loop and the "repeats"
+    # measure one evaluation (rounds 3-4 paid this as a ~3.5x overstatement
+    # of kernel throughput; caught in round 5, tools/decompose_wait.py). ---
+    R1 = int(os.environ.get("BENCH_R1", "8"))
+    R2 = int(os.environ.get("BENCH_R2", "24"))
 
     import jax.numpy as jnp
+
+    def _perturb(b, acc):
+        return jax.tree.map(
+            lambda x: x + acc * 1e-30
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, b)
+
+    def repeat_jit(fn, batch):
+        def rep_of(R):
+            def rep(b):
+                def body(_i, acc):
+                    out = fn(_perturb(b, acc))
+                    return jnp.sum(jax.tree.leaves(out)[-1]).astype(
+                        jnp.float32) * 1e-30
+                return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
+            return jax.jit(rep)
+        return rep_of(R1), rep_of(R2), batch
+
+    def measure(calls):
+        for f1, f2, b in calls:
+            _ = np.asarray(f1(b))
+            _ = np.asarray(f2(b))  # compile + warm
+
+        def t_of(which):
+            times = []
+            for _i in range(ITERS):
+                t0 = time.perf_counter()
+                accs = [fs[which](b) for *fs, b in calls]
+                for a in accs:
+                    _ = np.asarray(a)
+                times.append(time.perf_counter() - t0)
+            return min(times)
+
+        return max(t_of(1) - t_of(0), 1e-9) / (R2 - R1)
 
     # --- headline: posterior decoding (stages=3), apples-to-apples with the
     # reference driver's getAlignedPairsUsingAnchors timing ---
     dt = measure([repeat_jit(
-        lambda b, plan=plan, W=W: pp.run_sm3_pallas(plan, W, b, stages=3),
-        batch) for W, batch, plan in pipelines])
+        (lambda b, plan=plan, W=W: pp.run_sm3_pallas_paired(plan, W, b))
+        if paired else
+        (lambda b, plan=plan, W=W: pp.run_sm3_pallas(plan, W, b, stages=3)),
+        batch) for W, batch, plan, paired in pipelines])
     events_per_sec = ev_total / dt
 
-    # EM step throughput: full production E-step (stages=4 tallies on device)
+    # EM step throughput: full production E-step (stages=4 tallies on
+    # device).  The EM path runs 128-lane windows (em/pallas_em
+    # width_multiple=128), so its pipelines are built separately from the
+    # half-packed alignment set.
+    buckets128 = {}
+    for i in instances:
+        for j, piece in enumerate(pieces_of[i]):
+            wb = piece[8]
+            key = (wb.W, -(-(wb.n_diagonals + 2) // 256) * 256)
+            buckets128.setdefault(key, []).append((i, j))
+    for key, ids in buckets128.items():
+        uniq = sorted(set(ids))
+        while len(ids) % 32:
+            ids.append(uniq[len(ids) % len(uniq)])
+    pipelines_em = []
+    for (W, Dpb), ids in sorted(buckets128.items()):
+        uniq = sorted(set(ids))
+        Dp = max(pieces_of[i][j][8].n_diagonals for i, j in uniq) + 2
+        lxp = max(len(pieces_of[i][j][1]) for i, j in uniq)
+        lyp = max(len(pieces_of[i][j][2]) for i, j in uniq)
+        probs = {}
+        plan = None
+        for i, j in uniq:
+            pore, target, events, _wba, _cov, _a, _mp, _sp, wb = \
+                pieces_of[i][j]
+            plan, probs[(i, j)] = pp.make_sm3_pallas_problem(
+                pore, target, events, wb, pad_lx=lxp, pad_ly=lyp, pad_d=Dp)
+        pipelines_em.append((W, pp.stack_problems([probs[t] for t in ids]),
+                             plan))
     em_dt = measure([repeat_jit(
         lambda b, plan=plan, W=W: pp.sm3_pallas_expectations(plan, W, b),
-        batch) for W, batch, plan in pipelines])
+        batch) for W, batch, plan in pipelines_em])
 
     # Generic (per-cell-transition) Pallas path: vanilla machine on the same
     # pieces, posteriors+totals (stages=3).  Secondary metric, stderr only.
     from cpecan_signal_tpu.models.state_machines import make_signal_vanilla
     vjit = []
-    for (W, Dpb), ids in sorted(buckets.items()):
+    for (W, Dpb), ids in sorted(buckets128.items()):
         uniq = sorted(set(ids))
-        Dv = max(pieces_of[i][j][3].n_diagonals for i, j in uniq) + 2
+        Dv = max(pieces_of[i][j][8].n_diagonals for i, j in uniq) + 2
         probs = {}
         vplan = None
         for i, j in uniq:
-            pore, target, events, wb, _cov, *_rest = pieces_of[i][j]
+            pore, target, events, _wba, _cov, _a, _mp, _sp, wb = \
+                pieces_of[i][j]
             model_path = raw[i][6]
             strand = "complement" if "complement" in model_path else "template"
             sm = make_signal_vanilla(pore, target, events, strand=strand)
@@ -447,7 +505,7 @@ def main():
     # HBM-traffic estimate for the roofline sanity check (fused path: F is
     # the only large tensor — written once, read twice by the halo blocks)
     gb = 0.0
-    for W, batch, _plan in pipelines:
+    for W, batch, _plan, _paired in pipelines:
         B = batch.x0.shape[0]
         Dp = batch.diag_scalars.shape[1] - 1
         cells = B * Dp * W * 4
@@ -457,39 +515,37 @@ def main():
         f"({ev_total/em_dt:,.0f} ev/s, {1/em_dt:.2f} steps/s); "
         f"~{gb/dt:.0f} GB/s of ~819 GB/s HBM (v5e) incl. masked band waste")
 
-    # --- utilization analysis (why the latency wall binds before 2x): the
-    # wavefront recursion is SEQUENTIAL over diagonals; each grid step costs
-    # ~constant wall clock (VPU op latency over the serial logAdd chain, not
-    # HBM, not FLOPs), so throughput = (events per step) / (step time).
-    # Events per step is capped by Bt (VMEM) x true-band lanes; true bands
-    # are ~2*expansion+1 wide inside a 128-lane vreg, so ~2/3 of each vector
-    # op is masked waste.  The identified >= 2x lever is lane-packing two
-    # 64-lane problems per vreg (not band micro-opts). ---
+    # --- utilization analysis: the wavefront recursion is SEQUENTIAL over
+    # diagonals; each grid step costs ~constant wall clock, so throughput =
+    # (events per step) / (step time).  Events per step is capped by Bt
+    # (VMEM) x true-band lanes; true bands are ~2*expansion+1 wide, so a
+    # full 128-lane vreg is ~2/3 masked waste — which is why production
+    # W=64-fitting jobs (virtually all split jobs under default expansion;
+    # the fraction is printed below) run HALF-PACKED, two problems per vreg
+    # row (ops/pallas_fb nh=2, readpath paired buckets). ---
     n_steps = 0
     widths = []
-    for Wb, batch, plan in pipelines:
-        B = batch.x0.shape[0]
+    maxw = []
+    cov = []
+    for Wb, batch, plan, paired in pipelines:
+        B = batch.x0.shape[0] // (2 if paired else 1)
         Dp = batch.diag_scalars.shape[1] - 1
         from cpecan_signal_tpu.ops.pallas_fb import KD, _pick_bt
-        Bt = _pick_bt(B, Wb, None, KD, rows=3 + 9 + 2)
-        n_steps += (B // Bt) * (Dp // KD) * 3   # emissions+forward+backward
+        Bt = _pick_bt(max(B, 1), 128 if paired else Wb, None, KD, rows=3 + 9 + 2)
+        n_steps += (max(B, 1) // Bt) * (Dp // KD) * 3   # emis+forward+backward
     for i in set(instances):
         for (_p, _t, _e, wb, _c, *_r) in pieces_of[i]:
             widths.append(float(np.mean((wb.xmyR - wb.xmyL) // 2 + 1)))
+            maxw.append(int(np.max((wb.xmyR - wb.xmyL) // 2 + 1)))
+            cov.append(wb.lY)
+    fit64 = sum(c for m, c in zip(maxw, cov) if m <= 64) / max(sum(cov), 1)
     log(f"bench - utilization: ~{n_steps} sequential grid steps "
         f"({dt/n_steps*1e6:.1f} us/step), mean true band width "
         f"{np.mean(widths):.0f} of W=128 lanes "
-        f"({100*np.mean(widths)/128:.0f}% lane occupancy).  The kernel is "
-        f"VPU-ISSUE bound (~9 edges x ~17 vector ops x ~3 vregs ~= 460 "
-        f"vreg-ops per diagonal ~= the measured us/step), so throughput "
-        f"scales with useful lanes per vreg — more batch can't help (grid "
-        f"steps are serial at Bt >= 24) and HBM is idle (see GB/s above).  "
-        f"Lane-packing two W=64 problems per vreg is the only ~2x lever, "
-        f"but the reference's band geometry precludes it without coverage "
-        f"loss: expansion 20 gives 41-wide anchored bands, yet every piece "
-        f"also carries half-gap regions up to ~max_gap_min_dim/2 + 41 > 64 "
-        f"lanes wide, so W=64 windows would require tighter splits that "
-        f"drop more unanchored events than they pack.")
+        f"({100*np.mean(widths)/128:.0f}% lane occupancy); "
+        f"{100*fit64:.0f}% of events sit in jobs whose max true width fits "
+        f"64 lanes -> eligible for the half-packed (two problems per vreg) "
+        f"kernel rows the end-to-end path uses.")
 
     # --- end-to-end reads/s (BASELINE.md primary metric): the CLI path —
     # anchor handling, split/window construction, host packing, device
@@ -504,17 +560,20 @@ def main():
         f"(2 real fixture strands + {len(reads) - 2} synthetic)")
 
     from cpecan_signal_tpu.engine.align import collect_split_jobs
-    from cpecan_signal_tpu.engine.batch_align import batch_align_jobs
+    from cpecan_signal_tpu.engine.batch_align import batch_align_stream
     from cpecan_signal_tpu.models.state_machines import make_signal_sm3
     align_params = params.with_(max_gap_min_dim=max_gap)
 
     def run_reads(read_list, timing=None):
-        all_jobs = []
-        for pore, target, events, anchors in read_list:
-            mk = lambda t, e, _p=pore: make_signal_sm3(_p, t, e)
-            all_jobs.extend(collect_split_jobs(mk, target, events, anchors,
-                                               align_params))
-        pairs = batch_align_jobs(all_jobs, params.threshold, timing=timing)
+        # lazy per-read prep: batch_align_stream overlaps split/band prep
+        # with device waves (the production signal_align path's shape)
+        def gen():
+            for pore, target, events, anchors in read_list:
+                mk = lambda t, e, _p=pore: make_signal_sm3(_p, t, e)
+                yield collect_split_jobs(mk, target, events, anchors,
+                                         align_params)
+        _jobs, pairs = batch_align_stream(gen(), params.threshold,
+                                          timing=timing)
         return sum(len(p.probs) for p in pairs)
 
     n_pairs = run_reads(reads)   # warm (compile)
@@ -615,7 +674,7 @@ def main():
             f"of events; the reference also pays for the dropped gap middles)")
         piece_problems = []
         for i in set(instances):
-            for (pore, sub_t, sub_e, _wb, _cov, sub_a, mpath, sp) in pieces_of[i]:
+            for (pore, sub_t, sub_e, _wb, _cov, sub_a, mpath, sp, _wb128) in pieces_of[i]:
                 piece_problems.append((pore, sub_t, sub_e, sub_a, None,
                                        len(sub_e), mpath, sp))
         psecs = reference_engine_seconds(piece_problems, params)

@@ -109,68 +109,74 @@ def _batch_align_all(work):
     import os
 
     from ..engine.align import collect_split_jobs
-    from ..engine.batch_align import assemble_pairs, batch_align_jobs
+    from ..engine.batch_align import assemble_pairs, batch_align_stream
     from ..io.npread import load_npread
     from ..models.pore_model import load_pore_model
     from .vanilla_align import finish_read, guide_alignment, prepare_read
 
     out_early = []
     preps = []               # (label, widx, prep, contig, params, out_tsv)
-    all_jobs, owners = [], []
+    owners = []
     models = {}
-    threshold = None
-    for widx, w in enumerate(work):
-        (path, ref_seq, contig, tmodel_path, cmodel_path, params, sm_type,
-         out_tsv, substitute, regions_path) = w
-        label = os.path.basename(path)
-        threshold = params.threshold
-        # per-read containment: a corrupt read degrades to a retryable
-        # 'error:' result instead of killing the whole batch
-        try:
-            if path.endswith(".fast5"):
-                from ..io.fast5 import fast5_to_npread
-                npread = fast5_to_npread(path)
-            else:
-                npread = load_npread(path)
-            guide = guide_alignment(ref_seq, npread.twoD_read,
-                                    params.constraint_diagonal_trim)
-            if guide is None:
-                out_early.append((widx, label, "unmapped", None))
-                continue
-            if regions_path is not None:
-                regions = TargetRegions(regions_path)
-                lo, hi = sorted((guide.start1, guide.end1))
-                if not regions.hits(lo, hi):
-                    out_early.append((widx, label, "outside target regions",
-                                      None))
+    threshold = work[0][5].threshold if work else 0.01
+
+    def per_read_jobs():
+        """Per-read prep as a lazy stream: batch_align_stream dispatches
+        device waves while later reads' fast5/npRead loading, guide
+        alignment, and split/band prep still run on the host."""
+        for widx, w in enumerate(work):
+            (path, ref_seq, contig, tmodel_path, cmodel_path, params,
+             sm_type, out_tsv, substitute, regions_path) = w
+            label = os.path.basename(path)
+            # per-read containment: a corrupt read degrades to a retryable
+            # 'error:' result instead of killing the whole batch
+            try:
+                if path.endswith(".fast5"):
+                    from ..io.fast5 import fast5_to_npread
+                    npread = fast5_to_npread(path)
+                else:
+                    npread = load_npread(path)
+                guide = guide_alignment(ref_seq, npread.twoD_read,
+                                        params.constraint_diagonal_trim)
+                if guide is None:
+                    out_early.append((widx, label, "unmapped", None))
                     continue
-            for mp in (tmodel_path, cmodel_path):
-                if mp not in models:
-                    models[mp] = load_pore_model(mp)
-            prep = prepare_read(ref_seq, npread, params, sm_type=sm_type,
-                                guide=guide, substitute=substitute,
-                                template_model=models[tmodel_path],
-                                complement_model=models[cmodel_path])
-            if prep["status"] != "ok":
-                out_early.append((widx, label, prep["status"], None))
-                continue
-            key = len(preps)
-            for ctx in prep["strand_ctx"]:
-                if ctx["make_sm"] is None:
+                if regions_path is not None:
+                    regions = TargetRegions(regions_path)
+                    lo, hi = sorted((guide.start1, guide.end1))
+                    if not regions.hits(lo, hi):
+                        out_early.append((widx, label,
+                                          "outside target regions", None))
+                        continue
+                for mp in (tmodel_path, cmodel_path):
+                    if mp not in models:
+                        models[mp] = load_pore_model(mp)
+                prep = prepare_read(ref_seq, npread, params, sm_type=sm_type,
+                                    guide=guide, substitute=substitute,
+                                    template_model=models[tmodel_path],
+                                    complement_model=models[cmodel_path])
+                if prep["status"] != "ok":
+                    out_early.append((widx, label, prep["status"], None))
                     continue
-                jobs = collect_split_jobs(ctx["make_sm"], ctx["target"],
-                                          ctx["events"], ctx["anchors"],
-                                          params, ragged_left=True,
-                                          ragged_right=True)
-                all_jobs.extend(jobs)
-                owners.extend((key, ctx["strand"]) for _ in jobs)
-        except Exception as exc:
-            out_early.append((widx, label, f"error: {exc}", None))
-            continue
-        preps.append((label, widx, prep, contig, params, out_tsv))
+                key = len(preps)
+                read_jobs = []
+                for ctx in prep["strand_ctx"]:
+                    if ctx["make_sm"] is None:
+                        continue
+                    jobs = collect_split_jobs(ctx["make_sm"], ctx["target"],
+                                              ctx["events"], ctx["anchors"],
+                                              params, ragged_left=True,
+                                              ragged_right=True)
+                    read_jobs.extend(jobs)
+                    owners.extend((key, ctx["strand"]) for _ in jobs)
+            except Exception as exc:
+                out_early.append((widx, label, f"error: {exc}", None))
+                continue
+            preps.append((label, widx, prep, contig, params, out_tsv))
+            yield read_jobs
 
     try:
-        frags = batch_align_jobs(all_jobs, threshold) if all_jobs else []
+        _jobs, frags = batch_align_stream(per_read_jobs(), threshold)
     except Exception as exc:
         # a device/bucket failure degrades every pooled read to a retryable
         # error (the retry loop re-runs them through _align_one)

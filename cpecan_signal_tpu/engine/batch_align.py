@@ -110,43 +110,81 @@ def _run_generic_buckets(jobs, wbands, idx_groups, threshold, interpret, out):
             out[i] = AlignedPairs(pr, xs, ys)
 
 
-def batch_align_jobs(jobs: list[SplitJob], threshold: float, *,
-                     width_multiple: int = 128,
-                     interpret: bool | None = None,
-                     timing: dict | None = None) -> list[AlignedPairs]:
-    """Run every job's banded FB on device (bucketed + stacked) and return
-    per-job AlignedPairs (split-local coordinates already shifted by the
-    job's off_x/off_y).  interpret=None auto-selects interpret mode off the
-    default backend (CPU runs the Pallas kernels in interpret mode)."""
+def batch_align_stream(per_read_jobs, threshold: float, *,
+                       width_multiple: int = 128,
+                       interpret: bool | None = None,
+                       timing: dict | None = None,
+                       wave_events: int = 8000):
+    """Streaming device-batched alignment: ``per_read_jobs`` is an iterable
+    yielding per-read SplitJob lists (so split/band prep runs lazily);
+    fast-lane jobs are staged as they arrive and DISPATCHED in waves of
+    ~``wave_events`` events — the tunnel uploads and the chip computes while
+    the host preps the remaining reads — then ONE fetch collects every
+    wave's output.  Returns (jobs, pairs) with pairs aligned to jobs."""
+    import time as _time
+
     import jax
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    wbands = [smooth_band(j.band, width_multiple=width_multiple) for j in jobs]
-    out: list[AlignedPairs | None] = [None] * len(jobs)
-
-    # --- fast paths: device-packed threeState / symbol jobs, fully async ---
-    staged = []
+    t0 = _time.perf_counter()
+    jobs: list[SplitJob] = []
+    wbands = []
+    staged_wave: list = []
+    waves: list = []        # keep staged lists alive for decode
     staged_sym = []
     generic: dict[tuple, list[int]] = {}
-    for i, (j, wb) in enumerate(zip(jobs, wbands)):
-        st = readpath.stage_fast_job(j, wb)
-        if st is not None:
-            fj, plan = st
-            staged.append((i, fj, plan))
-            continue
-        ss = readpath.stage_symbol_job(j, wb)
-        if ss is not None:
-            sj, plan = ss
-            staged_sym.append((i, sj, plan))
-            continue
-        generic.setdefault((j.sm.spec.name, wb.W, False), []).append(i)
+    pending: list = []
+    ev_acc = 0
+
+    def flush():
+        nonlocal staged_wave, ev_acc
+        if staged_wave:
+            pending.extend(readpath.dispatch_fast_jobs(
+                staged_wave, threshold, interpret=interpret))
+            waves.append(staged_wave)
+            staged_wave = []
+            ev_acc = 0
+
+    for jl in per_read_jobs:
+        for j in jl:
+            i = len(jobs)
+            jobs.append(j)
+            # sm3-packable jobs whose true band fits 64 lanes (virtually
+            # all split jobs under default expansion) get a 64-lane window
+            # and run half-packed, two per kernel vreg row
+            if getattr(j.sm, "sm3_pack", None) is not None:
+                wb = smooth_band(j.band, width_multiple=64)
+                if wb.W != 64:
+                    wb = smooth_band(j.band, width_multiple=width_multiple)
+            else:
+                wb = smooth_band(j.band, width_multiple=width_multiple)
+            wbands.append(wb)
+            st = readpath.stage_fast_job(j, wb)
+            if st is not None:
+                fj, plan = st
+                staged_wave.append((i, fj, plan))
+                ev_acc += len(fj.events)
+                continue
+            ss = readpath.stage_symbol_job(j, wb)
+            if ss is not None:
+                sj, plan = ss
+                staged_sym.append((i, sj, plan))
+                continue
+            generic.setdefault((j.sm.spec.name, wb.W, False), []).append(i)
+        if ev_acc >= wave_events:
+            flush()
+    flush()
+    if timing is not None:
+        timing["host_pack"] = timing.get("host_pack", 0.0) \
+            + (_time.perf_counter() - t0)
+
+    out: list[AlignedPairs | None] = [None] * len(jobs)
     fast: dict[int, object] = {}
-    if staged:
-        fast.update(readpath.run_fast_jobs(staged, threshold,
-                                           interpret=interpret,
-                                           timing=timing))
+    if pending:
+        fast.update(readpath.collect_fast_jobs(pending, interpret=interpret,
+                                               timing=timing))
     if staged_sym:
         fast.update(readpath.run_symbol_jobs(staged_sym, threshold,
                                              interpret=interpret))
@@ -161,6 +199,20 @@ def batch_align_jobs(jobs: list[SplitJob], threshold: float, *,
 
     if generic:
         _run_generic_buckets(jobs, wbands, generic, threshold, interpret, out)
+    return jobs, out
+
+
+def batch_align_jobs(jobs: list[SplitJob], threshold: float, *,
+                     width_multiple: int = 128,
+                     interpret: bool | None = None,
+                     timing: dict | None = None) -> list[AlignedPairs]:
+    """Run every job's banded FB on device (bucketed + stacked) and return
+    per-job AlignedPairs (split-local coordinates already shifted by the
+    job's off_x/off_y).  interpret=None auto-selects interpret mode off the
+    default backend (CPU runs the Pallas kernels in interpret mode)."""
+    _jobs, out = batch_align_stream(iter([list(jobs)]), threshold,
+                                    width_multiple=width_multiple,
+                                    interpret=interpret, timing=timing)
     return out  # type: ignore[return-value]
 
 

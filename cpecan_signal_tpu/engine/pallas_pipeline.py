@@ -214,6 +214,45 @@ def run_sm3_pallas(plan: fb.EnginePlan, W: int, batch: SM3PallasProblem,
             gacc[:, 0, :], stats[:, 0, :])
 
 
+def run_sm3_pallas_paired(plan: fb.EnginePlan, HW: int,
+                          batch: SM3PallasProblem, Bt: int | None = None,
+                          interpret: bool = False, kd: int | None = None):
+    """Half-packed alignment pipeline: ``batch`` stacks an EVEN number (2B)
+    of HW-lane problems; pairs (2i, 2i+1) share one 2*HW-lane kernel row
+    (ops/pallas_fb nh=2).  Emissions run per problem at HW lanes, then E is
+    transpose-packed; the sequential forward/backward run on B packed rows —
+    the same vector ops carry twice the problems, the lane-occupancy lever
+    the band-width distribution allows (under default expansion the true
+    band is 24-45 wide, so HW=64 fits virtually every split job).  Returns
+    (p (B, Dp, 2*HW), totals (B, Dp, 2)); posterior lanes [j] belong to
+    problem 2i for j < HW, else 2i+1 (lane j - HW)."""
+    if kd is None:
+        kd = 2 if interpret else pk.KD
+    W = 2 * HW
+    S = plan.n_states
+    Dp = batch.diag_scalars.shape[1] - 1
+    E64 = pk.emissions_sm3(batch.x0, batch.yr0, batch.xarr, batch.evr, HW,
+                           Dp, kd=kd, interpret=interpret)
+    B2, Dpe, C, _ = E64.shape
+    assert B2 % 2 == 0
+    B = B2 // 2
+    E = (E64.reshape(B, 2, Dpe, C, HW).transpose(0, 2, 3, 1, 4)
+         .reshape(B, Dpe, C, W))
+    ds = batch.diag_scalars
+    ds2 = (ds.reshape(B, 2, ds.shape[1], 8)
+           .transpose(0, 2, 1, 3))                     # (B, Dp+1, 2, 8)
+    d_last2 = batch.d_last.reshape(B, 2)
+    start2 = batch.start.reshape(B, 2 * S)
+    end2 = batch.end.reshape(B, 2 * S)
+    tp2 = batch.tp_scalar.reshape(B, 2, -1)[:, 0, :]   # shared per pair
+    F = pk.forward_sm3(plan, E, ds2, d_last2, start2, tp2, Bt=Bt, kd=kd,
+                       interpret=interpret)
+    p, totals, _exits, _gacc, _stats = pk.backward_sm3(
+        plan, E, F, ds2, d_last2, end2, tp2, Bt=Bt, kd=kd, stages=3,
+        interpret=interpret)
+    return p[:, :, 0, :], totals[:, :, 0, :]
+
+
 def gapx_kmer_tallies(batch: SM3PallasProblem, W: int, exits, gacc):
     """Scatter the kernel's compact gapX outputs into per-kmer tallies:
     exits[d] belongs to x-column x0[d] + W - 1, gacc lane j to x0[0] + j

@@ -8,13 +8,13 @@ per-bucket syncs left the chip idle ~99.8% of the end-to-end CLI path
 device, so per problem the host ships only the irreducible inputs and reads
 back only the threshold-passing pairs:
 
-  up:   TWO packed arrays per bucket (the tunnel charges ~1 ms per array):
-        an int32 block [k-mer ranks | window w0/xmyL/xmyR | lY, d_last,
-        base-model index] and an f32 block [reversed event rows | scale
-        params | transition scalars | boundary vectors] — ~30 KB/problem
-        instead of ~160 KB across a dozen arrays;
-  down: ONE packed int32 block of compacted (quantized prob, flat cell
-        index) pairs — ~10 KB/problem instead of the ~750 KB posterior grid.
+  up:   flat VARIABLE-LENGTH buffers per bucket (the tunnel's real cost is
+        per byte, ~30 MB/s for fresh host arrays): int16 rank codes, an
+        int16 window stream at 1-2 words/diagonal, f32 reversed event rows,
+        and tiny per-problem meta blocks — real bytes only, no padding;
+  down: ONE globally-compacted (quantized prob, flat cell index) buffer per
+        bucket sized by the bucket's real event count (pairs ~= 1/event),
+        not per-problem worst-case slots.
 
 On device (plain jnp feeding the unchanged Pallas kernels):
   * per-read model scaling (emissions_signal_scaleModel semantics,
@@ -227,6 +227,116 @@ def _pack_ds(win, lY, W, lXp, lYp):
     return ds, x0, yr0
 
 
+# ---------------------------------------------------------------------------
+# Flat transport (round 5): the tunnel's real costs are per-BYTE, not per
+# array (~30 MB/s fresh-numpy upload, ~12 MB/s fetch, measured in
+# tools/decompose_wait.py), and the round-4 padded (B, n_int)/(B, n_flt)
+# blocks shipped ~56 KB/problem of mostly padding while the fetch carried a
+# worst-case K-slot pair buffer per problem.  Round 5 ships VARIABLE-LENGTH
+# flat buffers (real bytes only) and unpacks them on device:
+#
+#   up:   flat int16 rank codes | flat int8 window encoding (w0 steps are
+#         exactly +-1 per diagonal and the true band edges live within the
+#         W-lane window, so (w0 delta, (xmyL-w0)/2, (xmyR-w0)/2) are 3 bytes
+#         per diagonal) | flat f32 reversed event rows | tiny per-problem
+#         meta blocks — ~4x fewer bytes than the padded blocks;
+#   down: ONE globally-compacted pair buffer per bucket sized by the
+#         bucket's real event count (pairs ~= 1 per event) instead of
+#         B x (2 Dp) worst-case slots — ~3-4x fewer bytes.
+# ---------------------------------------------------------------------------
+
+_META_I = 12      # int32 meta lanes per problem (offsets/lengths/flags)
+(MI_RANK_OFF, MI_RANK_LEN, MI_EV_OFF, MI_EV_LEN, MI_WIN_OFF, MI_WIN_D,
+ MI_BASE, MI_W00, MI_REAL) = range(9)
+
+
+def _flat_win_encode(wb: WindowBand) -> np.ndarray:
+    """Per-diagonal window stream.  The constant-shift window contract makes
+    every field small: w0 steps are exactly +-1 (core/window.py) and the
+    true band lies inside the W-lane window so the halved edge offsets are
+    in [0, W-1].  For W <= 128 that is 15 bits per diagonal — ONE int16
+    word (step<<14 | uL<<7 | uR, the step bit of word 0 is unused); wider
+    windows fall back to three int16 rows [w0 delta | uL | uR]."""
+    w0 = np.asarray(wb.w0, dtype=np.int64)
+    delta = np.diff(w0)
+    uL = (np.asarray(wb.xmyL, dtype=np.int64) - w0) >> 1
+    uR = (np.asarray(wb.xmyR, dtype=np.int64) - w0) >> 1
+    assert len(delta) == 0 or (np.abs(delta) == 1).all()
+    assert uL.min(initial=0) >= 0 and uR.max(initial=0) < wb.W
+    D = len(w0)
+    if wb.W <= 128:
+        s = np.empty(D, dtype=np.int64)
+        s[0] = 0
+        s[1:] = (delta + 1) >> 1             # +-1 -> 1/0
+        return ((s << 14) | (uL << 7) | uR).astype(np.int16)
+    out = np.empty(3 * D, dtype=np.int16)
+    out[0] = 0
+    out[1:D] = delta
+    out[D:2 * D] = uL
+    out[2 * D:] = uR
+    return out
+
+
+def _unpack_dev(meta_i, meta_f, flat_r, flat_w, flat_e, *, W, Dp, lXp, lYp,
+                n_tp, S):
+    """Device-side unpack of the flat transport into the padded per-problem
+    arrays the pipeline consumes (identical values to the round-4 host-packed
+    blocks, byte for byte)."""
+    import jax.numpy as jnp
+
+    B = meta_i.shape[0]
+    fr = flat_r.astype(jnp.int32)
+    fw = flat_w.astype(jnp.int32)
+
+    # ranks: sentinel-filled (B, lXp) with the job's codes at [W, W+len)
+    xa = jnp.arange(lXp, dtype=jnp.int32)[None, :] - W
+    rlen = meta_i[:, MI_RANK_LEN:MI_RANK_LEN + 1]
+    rok = (xa >= 0) & (xa < rlen)
+    ridx = meta_i[:, MI_RANK_OFF:MI_RANK_OFF + 1] + jnp.clip(xa, 0, rlen - 1)
+    xrank = jnp.where(rok, fr[ridx], KMER_SENTINEL)
+
+    # events: zero-filled (B, 2, lYp) with reversed rows at [W, W+n)
+    ya = jnp.arange(lYp, dtype=jnp.int32)[None, :] - W
+    elen = meta_i[:, MI_EV_LEN:MI_EV_LEN + 1]
+    eok = (ya >= 0) & (ya < elen)
+    ebase = meta_i[:, MI_EV_OFF:MI_EV_OFF + 1] + jnp.clip(ya, 0, elen - 1)
+    evm = jnp.where(eok, flat_e[ebase], 0.0)
+    evn = jnp.where(eok, flat_e[ebase + elen], 0.0)
+    evr = jnp.stack([evm, evn], axis=1)
+
+    # window: decode the stream; rows past D get the stepping-w0 /
+    # empty-range padding (pad_window's rule)
+    dd = jnp.arange(Dp, dtype=jnp.int32)[None, :]
+    D = meta_i[:, MI_WIN_D:MI_WIN_D + 1]
+    wreal = dd < D
+    woff = meta_i[:, MI_WIN_OFF:MI_WIN_OFF + 1]
+    didx = jnp.clip(dd, 0, D - 1)
+    if W <= 128:   # 1-word encoding: step<<14 | uL<<7 | uR
+        word = fw[woff + didx]
+        delta = jnp.where(wreal & (dd > 0), 2 * (word >> 14) - 1, 0)
+        uL = (word >> 7) & 127
+        uR = word & 127
+    else:          # 3-row encoding
+        delta = jnp.where(wreal, fw[woff + didx], 0)
+        uL = fw[woff + D + didx]
+        uR = fw[woff + 2 * D + didx]
+    w0 = meta_i[:, MI_W00:MI_W00 + 1] + jnp.cumsum(delta, axis=1)
+    w0 = w0 + jnp.where(wreal, 0, jnp.where((dd - D) % 2 == 0, 1, 0))
+    xmyL = w0 + jnp.where(wreal, 2 * uL, 2 * 10**6)
+    xmyR = w0 + jnp.where(wreal, 2 * uR, 0)
+    win = jnp.stack([w0, xmyL, xmyR], axis=1).astype(jnp.int32)
+
+    lY = meta_i[:, MI_EV_LEN]
+    d_last = meta_i[:, MI_WIN_D] - 1
+    bidx = meta_i[:, MI_BASE]
+    real = meta_i[:, MI_REAL] > 0
+    scale8 = meta_f[:, :8]
+    tps = meta_f[:, 8:8 + n_tp]
+    start = meta_f[:, 8 + n_tp:8 + n_tp + S]
+    end = meta_f[:, 8 + n_tp + S:8 + n_tp + 2 * S]
+    return xrank, win, lY, d_last, bidx, evr, scale8, tps, start, end, real
+
+
 _EXTRACT_L = 16   # per-diagonal slot cap of the two-stage compaction
 
 
@@ -271,6 +381,89 @@ def _extract_compact(p, threshold, K, L: int = _EXTRACT_L):
                      * np.float32(PAIR_ALIGNMENT_PROB_1)).astype(jnp.int32)
     cnt = jnp.where((cnt_d > L).any(axis=1), K + 1, total)
     return cnt, outq, outi
+
+
+def _extract_global(p, threshold, Kg, real, L: int = _EXTRACT_L):
+    """Globally-compacted pair extraction: one (Kg,) slot buffer shared by
+    the whole bucket instead of K worst-case slots per problem, so the fetch
+    is sized by the bucket's REAL pair count (~1 per event).  Same two-stage
+    compaction and (problem, diagonal, lane) output order as
+    _extract_compact.  Returns (cnt (B,) per-problem pair counts,
+    over (B,) per-diagonal slot-overflow flags, outq (Kg,) quantized probs,
+    outi (Kg,) global flat indices problem*Dp*W + d*W + j).  A problem whose
+    slots spill past Kg is detected on host (its cumsum extent crosses Kg)."""
+    import jax
+    import jax.numpy as jnp
+
+    B, Dp, W = p.shape
+    rmask = real[:, None, :] if real.ndim == 2 else real[:, None, None]
+    m = (p >= np.float32(threshold)) & rmask
+    csl = jnp.cumsum(m.astype(jnp.int32), axis=2)
+    cnt_d = csl[:, :, -1]                            # (B, Dp)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, Dp, W), 2)
+    slots = [jnp.min(jnp.where(m & (csl == s + 1), lane, W), axis=2)
+             for s in range(L)]
+    lane_idx = jnp.stack(slots, axis=2)              # (B, Dp, L)
+    valid2 = (jnp.arange(L, dtype=jnp.int32)[None, None, :]
+              < jnp.minimum(cnt_d, L)[:, :, None])
+    gflat = (jnp.minimum(lane_idx, W - 1)
+             + jnp.arange(Dp, dtype=jnp.int32)[None, :, None] * W
+             + (jnp.arange(B, dtype=jnp.int32) * (Dp * W))[:, None, None])
+    v = valid2.reshape(B * Dp * L)
+    f = gflat.reshape(B * Dp * L)
+    idx = jnp.cumsum(v.astype(jnp.int32)) - 1
+    tgt = jnp.where(v, jnp.minimum(idx, Kg), Kg)
+    outi = jnp.zeros(Kg + 1, jnp.int32).at[tgt].set(f)[:Kg]
+    outq = jnp.floor(jnp.take(p.reshape(-1), outi)
+                     * np.float32(PAIR_ALIGNMENT_PROB_1)).astype(jnp.int32)
+    cnt = jnp.sum(jnp.minimum(cnt_d, L), axis=1)
+    over = (cnt_d > L).any(axis=1).astype(jnp.int32)
+    return cnt, over, outq, outi
+
+
+@lru_cache(maxsize=256)
+def _bucket_fn_flat(plan, W, Dp, lXp, lYp, B, Kg, n_tp, S, threshold,
+                    interpret, paired=False):
+    """Round-5 compiled pipeline over the flat transport: device unpack ->
+    device packing -> emissions -> forward -> fused backward (stages=3) ->
+    globally-compacted pair extraction -> one small int32 output block.
+
+    ``paired``: the metas describe 2*B HW=W//2-lane problems; pairs
+    (2i, 2i+1) run half-packed in one W-lane kernel row
+    (pallas_pipeline.run_sm3_pallas_paired) — the lane-occupancy lever for
+    the dominant narrow-band jobs (true bands 24-45 wide under default
+    expansion)."""
+    import jax
+
+    from . import pallas_pipeline as pp
+
+    kd = _bucket_kd(Dp)
+    HW = W // 2 if paired else W
+
+    def run(mt, yt, gapx, meta_i, meta_f, flat_r, flat_w, flat_e):
+        import jax.numpy as jnp
+
+        (xrank, win, lY, d_last, bidx, evr, scale8, tps, start, end,
+         real) = _unpack_dev(meta_i, meta_f, flat_r, flat_w, flat_e,
+                             W=HW, Dp=Dp, lXp=lXp, lYp=lYp, n_tp=n_tp, S=S)
+        xarr = _pack_xarr(mt, yt, gapx, bidx, xrank, scale8)
+        ds, x0, yr0 = _pack_ds(win, lY, HW, lXp, lYp)
+        prob = pp.SM3PallasProblem(
+            xarr=xarr, evr=evr, x0=x0, yr0=yr0, diag_scalars=ds,
+            d_last=d_last, start=start, end=end, tp_scalar=tps, xrank=xrank)
+        if paired:
+            p, _totals = pp.run_sm3_pallas_paired(plan, HW, prob,
+                                                  interpret=interpret, kd=kd)
+            lane = jnp.arange(W, dtype=jnp.int32)[None, :]
+            rl = jnp.where(lane < HW, real[0::2, None], real[1::2, None])
+            cnt, over, outq, outi = _extract_global(p, threshold, Kg, rl)
+        else:
+            p, _totals, *_rest = pp.run_sm3_pallas(plan, W, prob, stages=3,
+                                                   interpret=interpret, kd=kd)
+            cnt, over, outq, outi = _extract_global(p, threshold, Kg, real)
+        return jnp.concatenate([cnt, over, outq, outi])
+
+    return run if interpret else jax.jit(run)
 
 
 @lru_cache(maxsize=256)
@@ -407,24 +600,92 @@ def _chunk_sizes(n: int, Dp: int = 256) -> list[int]:
 
 
 
-def _collect_packed(pending, interpret):
+def _collect_packed(handles, interpret):
     """ONE device->host fetch for all pending buckets: every per-bucket
     fetch pays a full tunnel round trip (~27 ms) even with
     copy_to_host_async, so the packed outputs are concatenated on device
     and split on host."""
-    if len(pending) > 1 and not interpret:
+    if len(handles) > 1 and not interpret:
         import jax.numpy as jnp
 
-        flats = [h.ravel() for (_c, h, *_r) in pending]
-        combined = np.asarray(jnp.concatenate(flats))
+        combined = np.asarray(jnp.concatenate([h.ravel() for h in handles]))
         out = []
         off = 0
-        for (_c, handle, *_r) in pending:
+        for handle in handles:
             n = handle.size
             out.append(combined[off:off + n].reshape(handle.shape))
             off += n
         return out
-    return [np.asarray(h) for (_c, h, *_r) in pending]
+    return [np.asarray(h) for h in handles]
+
+
+def _decode_global(packed, chunk, staged, W, Dp, Kg, out):
+    """Pair decode from a bucket's globally-compacted block
+    [cnt (B,) | over (B,) | outq (Kg,) | outi (Kg,)]: per-problem extents
+    from the count cumsum; a diagonal-slot overflow or an extent crossing Kg
+    marks that problem for the full-grid fallback."""
+    # the device block was built for the padded problem count; metas carry
+    # real flags so padded rows contribute cnt == 0
+    nB = (len(packed) - 2 * Kg) // 2
+    cnt = packed[:nB]
+    over = packed[nB:2 * nB]
+    outq = packed[2 * nB:2 * nB + Kg]
+    outi = packed[2 * nB + Kg:]
+    ends = np.cumsum(cnt)
+    starts = ends - cnt
+    for bi, si in enumerate(chunk):
+        ji, job, _plan = staged[si]
+        if over[bi] or ends[bi] > Kg:
+            out[ji] = None
+            continue
+        gi = outi[starts[bi]:ends[bi]].astype(np.int64) - bi * (Dp * W)
+        d = gi // W
+        j = gi - d * W
+        w0 = np.asarray(job.wband.w0, dtype=np.int64)
+        w0d = w0[np.minimum(d, len(w0) - 1)]
+        xmy = w0d + 2 * j
+        x = (d + xmy) >> 1
+        y = (d - xmy) >> 1
+        out[ji] = AlignedPairs(outq[starts[bi]:ends[bi]].astype(np.int64),
+                               x - 1 + job.off_x, y - 1 + job.off_y)
+
+
+def _decode_global_paired(packed, chunk, staged, W, Dp, Kg, out):
+    """Paired-bucket decode: packed row bi carries chunk[2*bi] in lanes
+    [0, W/2) and chunk[2*bi + 1] in lanes [W/2, W); an odd chunk's last row
+    has a dummy second half (masked out on device)."""
+    HW = W // 2
+    nB = (len(packed) - 2 * Kg) // 2
+    cnt = packed[:nB]
+    over = packed[nB:2 * nB]
+    outq = packed[2 * nB:2 * nB + Kg]
+    outi = packed[2 * nB + Kg:]
+    ends = np.cumsum(cnt)
+    starts = ends - cnt
+    for bi in range(nB):
+        members = chunk[2 * bi:2 * bi + 2]
+        if not members:
+            continue
+        bad = over[bi] or ends[bi] > Kg
+        gi = outi[starts[bi]:ends[bi]].astype(np.int64) - bi * (Dp * W)
+        q = outq[starts[bi]:ends[bi]].astype(np.int64)
+        d_all = gi // W
+        j_all = gi - d_all * W
+        for half, si in enumerate(members):
+            ji, job, _plan = staged[si]
+            if bad:
+                out[ji] = None
+                continue
+            sel = (j_all // HW) == half
+            d = d_all[sel]
+            j = j_all[sel] - half * HW
+            w0 = np.asarray(job.wband.w0, dtype=np.int64)
+            w0d = w0[np.minimum(d, len(w0) - 1)]
+            xmy = w0d + 2 * j
+            x = (d + xmy) >> 1
+            y = (d - xmy) >> 1
+            out[ji] = AlignedPairs(q[sel], x - 1 + job.off_x,
+                                   y - 1 + job.off_y)
 
 
 def _decode_packed(packed, chunk, staged, W, Dp, K, out):
@@ -451,42 +712,39 @@ def _decode_packed(packed, chunk, staged, W, Dp, K, out):
                                x - 1 + job.off_x, y - 1 + job.off_y)
 
 
-def run_fast_jobs(staged: list[tuple[int, "_FastJob", object]],
-                  threshold: float, *, interpret: bool,
-                  timing: dict | None = None) -> dict[int, tuple]:
-    """Dispatch all staged jobs (list of (job_index, _FastJob, plan)),
-    grouped+chunked, entirely asynchronously; then collect and extract.
-
-    Returns {job_index: AlignedPairs} with overflowed jobs (count > capacity)
-    mapped to None — the caller re-routes those through the full-grid path.
-    ``timing``, if given, receives {'host_pack': s, 'device_wait': s,
-    'host_extract': s} (the bench's host/device breakdown)."""
-    import time as _time
-
+def dispatch_fast_jobs(staged: list[tuple[int, "_FastJob", object]],
+                       threshold: float, *, interpret: bool) -> list:
+    """Group + stage + asynchronously dispatch all staged jobs; returns the
+    pending list for collect_fast_jobs.  Dispatching without collecting is
+    the streaming overlap hook: the tunnel uploads and the chip computes
+    while the host preps the next wave of reads
+    (engine.batch_align.batch_align_stream)."""
     from ..ops import pallas_fb as pk
 
     groups: dict[tuple, list[int]] = {}
     for si, (ji, fj, plan) in enumerate(staged):
         W = fj.wband.W
-        # coarse Dp ladder; lXp/lYp tied to Dp (lx, ly <= D <= Dp) so jobs of
-        # any length share buckets — merged buckets beat tight padding here
-        # because every extra bucket costs a dispatch and its share of a
-        # tunnel round trip, while padded diagonals only cost idle-cheap chip
-        # time.  Problems of different base models / strands share buckets
-        # via the stacked-table index; only the gapx table splits a group.
-        key = (plan, W, _dp_ladder(fj.wband.n_diagonals + 2), fj.gapx_key)
+        # Dp ladder; lXp/lYp tied to Dp (lx, ly <= D <= Dp) so jobs of any
+        # length share buckets.  Problems of different base models / strands
+        # share buckets via the stacked-table index; only the gapx table
+        # splits a group.  W=64 jobs (virtually all split jobs under default
+        # expansion) run half-packed, two per kernel row — those pairs share
+        # one tp_scalar, so the transition vector joins their key.
+        paired = W == 64
+        key = (plan, W, _dp_ladder(fj.wband.n_diagonals + 2), fj.gapx_key,
+               fj.tp_scalar.tobytes() if paired else None)
         groups.setdefault(key, []).append(si)
 
-    t0 = _time.perf_counter()
-    pending = []   # (chunk of staged-indices, packed handle, W, Dp, K)
+    pending = []   # (staged, chunk, handle, kernel W, Dp, Kg, paired)
     for key, sidx in groups.items():
-        plan, W, Dpq, _gk = key
+        plan, W, Dpq, _gk, _tpb = key
+        paired = W == 64
+        spu = 2 if paired else 1     # staged jobs per kernel row
+        Wk = 128 if paired else W    # kernel lane width
         Dp = _round_up(Dpq, pk.KD)
         lXp = _round_up(Dp + 1 + 2 * W + 2 * 128, 128)
         lYp = lXp
-        K = min(Dp * W, _round_up(max(2 * Dp, 512), 128))
         # base-model slots for this group (split if > _NBASE distinct)
-        base_of: dict[int, int] = {}
         subgroups: list[tuple[list, list]] = []   # (bases, staged-indices)
         for si in sidx:
             fj = staged[si][1]
@@ -504,54 +762,118 @@ def run_fast_jobs(staged: list[tuple[int, "_FastJob", object]],
             fj0 = staged[members[0]][1]
             n_tp = len(fj0.tp_scalar)
             S = len(fj0.start)
-            n_int = lXp + 3 * Dp + 3
-            n_flt = 2 * lYp + 8 + n_tp + 2 * S
             pos = 0
-            for B in _chunk_sizes(len(members), Dp):
+            for Bu in _chunk_sizes(-(-len(members) // spu), Dp):
+                B = Bu * spu                 # meta rows (jobs incl. dummies)
                 chunk = members[pos:pos + B]
                 pos += len(chunk)
                 idxs = chunk + [chunk[-1]] * (B - len(chunk))
-                ints = np.full((B, n_int), KMER_SENTINEL, dtype=np.int32)
-                flts = np.zeros((B, n_flt), dtype=np.float32)
+                meta_i = np.zeros((B, _META_I), dtype=np.int32)
+                meta_f = np.zeros((B, 8 + n_tp + 2 * S), dtype=np.float32)
+                ranks_l, win_l, ev_l = [], [], []
+                ro = wo = eo = 0
+                sum_ev = 0
                 for bi, si in enumerate(idxs):
                     fj = staged[si][1]
                     r = fj.ranks
-                    ints[bi, W:W + len(r)] = r
-                    ints[bi, len(r) + W:lXp] = KMER_SENTINEL
-                    ints[bi, :W] = KMER_SENTINEL
-                    ints[bi, lXp:lXp + 3 * Dp] = \
-                        pad_window(fj.wband, Dp).ravel()
                     ev = fj.events
-                    ints[bi, lXp + 3 * Dp] = len(ev)
-                    ints[bi, lXp + 3 * Dp + 1] = fj.wband.n_diagonals - 1
-                    ints[bi, lXp + 3 * Dp + 2] = base_slot[id(fj.base)]
-                    flts[bi, W:W + len(ev)] = ev[::-1, 0]
-                    flts[bi, lYp + W:lYp + W + len(ev)] = ev[::-1, 1]
-                    o = 2 * lYp
-                    flts[bi, o:o + 8] = fj.scale8
-                    flts[bi, o + 8:o + 8 + n_tp] = fj.tp_scalar
-                    flts[bi, o + 8 + n_tp:o + 8 + n_tp + S] = fj.start
-                    flts[bi, o + 8 + n_tp + S:o + 8 + n_tp + 2 * S] = fj.end
-                fn = _bucket_fn(plan, W, Dp, lXp, lYp, B, K, n_tp, S,
-                                float(threshold), interpret)
-                handle = fn(mt, yt, gapx, ints, flts)
-                pending.append((chunk, handle, W, Dp, K))
+                    D = fj.wband.n_diagonals
+                    real = bi < len(chunk)
+                    meta_i[bi] = 0
+                    meta_i[bi, MI_RANK_OFF] = ro
+                    meta_i[bi, MI_RANK_LEN] = len(r)
+                    meta_i[bi, MI_EV_OFF] = eo
+                    meta_i[bi, MI_EV_LEN] = len(ev)
+                    meta_i[bi, MI_WIN_OFF] = wo
+                    meta_i[bi, MI_WIN_D] = D
+                    meta_i[bi, MI_BASE] = base_slot[id(fj.base)]
+                    meta_i[bi, MI_W00] = int(fj.wband.w0[0])
+                    meta_i[bi, MI_REAL] = 1 if real else 0
+                    if real:
+                        wenc = _flat_win_encode(fj.wband)
+                        ranks_l.append(r.astype(np.int16))
+                        win_l.append(wenc)
+                        ev_l.append(np.concatenate(
+                            [ev[::-1, 0], ev[::-1, 1]]).astype(np.float32))
+                        ro += len(r)
+                        wo += len(wenc)
+                        eo += 2 * len(ev)
+                        sum_ev += len(ev)
+                    else:
+                        # dummy rows reuse the previous job's segments
+                        wlen = D if W <= 128 else 3 * D
+                        meta_i[bi, MI_RANK_OFF] = ro - len(r)
+                        meta_i[bi, MI_EV_OFF] = eo - 2 * len(ev)
+                        meta_i[bi, MI_WIN_OFF] = wo - wlen
+                    meta_f[bi, :8] = fj.scale8
+                    meta_f[bi, 8:8 + n_tp] = fj.tp_scalar
+                    meta_f[bi, 8 + n_tp:8 + n_tp + S] = fj.start
+                    meta_f[bi, 8 + n_tp + S:] = fj.end
 
-    t1 = _time.perf_counter()
+                def flat(parts, dtype, quantum=2048):
+                    n = sum(len(p) for p in parts)
+                    buf = np.zeros(_round_up(max(n, 1), quantum), dtype=dtype)
+                    if n:
+                        np.concatenate(parts, out=buf[:n])
+                    return buf
+
+                flat_r = flat(ranks_l, np.int16)
+                flat_w = flat(win_l, np.int16)
+                flat_e = flat(ev_l, np.float32)
+                # pair capacity ~1 per event observed; 1.2x + slack, with
+                # the full-grid fallback catching the (rare) spill
+                Kg = _round_up(sum_ev + sum_ev // 5 + 512, 2048)
+                fn = _bucket_fn_flat(plan, Wk, Dp, lXp, lYp, Bu, Kg, n_tp, S,
+                                     float(threshold), interpret, paired)
+                handle = fn(mt, yt, gapx, meta_i, meta_f, flat_r, flat_w,
+                            flat_e)
+                pending.append((staged, chunk, handle, Wk, Dp, Kg, paired))
+    return pending
+
+
+def collect_fast_jobs(pending: list, *, interpret: bool,
+                      timing: dict | None = None) -> dict[int, tuple]:
+    """Single-fetch collection + host decode of any number of dispatched
+    waves (their pending lists concatenated)."""
+    import time as _time
+
     tw = _time.perf_counter()
-    packed_of = _collect_packed(pending, interpret)
+    packed_of = _collect_packed([p[2] for p in pending], interpret)
     t_wait = _time.perf_counter() - tw
 
     out: dict[int, tuple] = {}
-    for (chunk, _handle, W, Dp, K), packed in zip(pending, packed_of):
-        _decode_packed(packed, chunk, staged, W, Dp, K, out)
+    for (staged, chunk, _handle, W, Dp, Kg, paired), packed in zip(
+            pending, packed_of):
+        if paired:
+            _decode_global_paired(packed, chunk, staged, W, Dp, Kg, out)
+        else:
+            _decode_global(packed, chunk, staged, W, Dp, Kg, out)
     if timing is not None:
         t2 = _time.perf_counter()
-        timing["host_pack"] = timing.get("host_pack", 0.0) + (t1 - t0)
         timing["device_wait"] = timing.get("device_wait", 0.0) + t_wait
         timing["host_extract"] = timing.get("host_extract", 0.0) \
-            + (t2 - t1 - t_wait)
+            + (t2 - tw - t_wait)
     return out
+
+
+def run_fast_jobs(staged: list[tuple[int, "_FastJob", object]],
+                  threshold: float, *, interpret: bool,
+                  timing: dict | None = None) -> dict[int, tuple]:
+    """Dispatch all staged jobs (list of (job_index, _FastJob, plan)),
+    grouped+chunked, entirely asynchronously; then collect and extract.
+
+    Returns {job_index: AlignedPairs} with overflowed jobs (count > capacity)
+    mapped to None — the caller re-routes those through the full-grid path.
+    ``timing``, if given, receives {'host_pack': s, 'device_wait': s,
+    'host_extract': s} (the bench's host/device breakdown)."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    pending = dispatch_fast_jobs(staged, threshold, interpret=interpret)
+    if timing is not None:
+        timing["host_pack"] = timing.get("host_pack", 0.0) \
+            + (_time.perf_counter() - t0)
+    return collect_fast_jobs(pending, interpret=interpret, timing=timing)
 
 
 # ---------------------------------------------------------------------------
@@ -709,7 +1031,7 @@ def run_symbol_jobs(staged: list[tuple[int, "_SymJob", object]],
             handle = fn(mt, gx, gy, ints, flts)
             pending.append((chunk, handle, W, Dp, K))
 
-    packed_of = _collect_packed(pending, interpret)
+    packed_of = _collect_packed([p[1] for p in pending], interpret)
     out: dict[int, tuple] = {}
     for (chunk, _handle, W, Dp, K), packed in zip(pending, packed_of):
         _decode_packed(packed, chunk, staged, W, Dp, K, out)

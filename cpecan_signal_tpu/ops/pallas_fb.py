@@ -86,13 +86,21 @@ def _esum(plan, E, e):
     return v
 
 
-def _shift(v, s, fill=NEG_INF):
-    """out[..., j] = v[..., j + s] for per-row scalars s (.., 1, 1) in
-    {-1, 0, +1}; edge lanes filled.  Static rolls + vector select."""
+def _shift(v, s, fill=NEG_INF, hw: int | None = None):
+    """out[..., j] = v[..., j + s] for per-row scalars s (.., 1, 1) — or
+    per-lane (.., 1, W) vectors when two half-problems share the lanes — in
+    {-1, 0, +1}; edge lanes filled.  Static rolls + vector select.  ``hw``
+    (defaults to the full lane width) is the sub-problem width: with two
+    W//2-lane problems packed per vreg (nh=2), lanes hw-1 and hw are both
+    edges so nothing leaks across the half boundary."""
     W = v.shape[-1]
+    if hw is None:
+        hw = W
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    if hw != W:
+        lane = jax.lax.rem(lane, jnp.asarray(hw, lane.dtype))
     # pltpu.roll requires non-negative shifts; rolling right by W-1 == left by 1
-    up = jnp.where(lane == W - 1, fill, pltpu.roll(v, W - 1, axis=v.ndim - 1))
+    up = jnp.where(lane == hw - 1, fill, pltpu.roll(v, W - 1, axis=v.ndim - 1))
     down = jnp.where(lane == 0, fill, pltpu.roll(v, 1, axis=v.ndim - 1))
     return jnp.where(s == 0, v, jnp.where(s > 0, up, down))
 
@@ -124,12 +132,14 @@ def _emissions_kernel(x0_ref, yr0_ref, xarr_ref, evr_ref, out_ref, *,
 
             def pack(ref, nrows, start):
                 # lane-dim dynamic slices must be 128-aligned: load an aligned
-                # W+128 span and rotate by the remainder.  All nrows parameter
+                # span and rotate by the remainder.  All nrows parameter
                 # rows share the same offset, so one 2D slice + one roll
                 # replaces nrows separate row loads (validated on-device).
+                # span covers start - al (< 128) + W lanes, 128-aligned.
+                span = W + 128 if W >= 128 else 256
                 al = pl.multiple_of((start // 128) * 128, 128)
-                v = ref[i, 0:nrows, pl.ds(al, W + 128)]
-                return pltpu.roll(v, W + 128 - (start - al), axis=1)[:, :W]
+                v = ref[i, 0:nrows, pl.ds(al, span)]
+                return pltpu.roll(v, span - (start - al), axis=1)[:, :W]
 
             ev = pack(evr_ref, 2, ys)          # rows: mean, noise
             xv = pack(xarr_ref, N_XPARAMS, xs)
@@ -210,17 +220,50 @@ DS_FL, DS_FM, DS_BL, DS_BM, DS_W0, DS_XMYL, DS_XMYR, DS_XS = range(8)
 LIK_LANE = 64
 
 
-def _forward_kernel(plan, Bt, W, kd, E_ref, ds_ref, dlast_ref, start_ref,
+def _half_col(ds, i, Bt, halfA):
+    """Per-(problem, diagonal) scalar i from a (Bt, nh, 8) ds row, broadcast
+    per half: (Bt, 1, 1) for nh=1 (scalar fast path), else (Bt, 1, W) with
+    each packed half-problem reading its own value."""
+    if halfA is None:
+        return ds[:, 0, i:i + 1].reshape(Bt, 1, 1)
+    a = ds[:, 0, i:i + 1].reshape(Bt, 1, 1)
+    b = ds[:, 1, i:i + 1].reshape(Bt, 1, 1)
+    return jnp.where(halfA, a, b)
+
+
+def _half_vec(vec, S, halfA):
+    """(Bt, nh*S) boundary vector -> (Bt, S, 1) (nh=1) or per-half
+    (Bt, S, W).  Slice-then-reshape only: a None inside the subscript of a
+    loaded array lowers to a gather Mosaic rejects."""
+    B = vec.shape[0]
+    if halfA is None:
+        return vec.reshape(B, S, 1)
+    a = vec[:, :S].reshape(B, S, 1)
+    b = vec[:, S:].reshape(B, S, 1)
+    return jnp.where(halfA, a, b)
+
+
+def _forward_kernel(plan, Bt, W, kd, nh, E_ref, ds_ref, dlast_ref, start_ref,
                     tps_ref, F_ref, f1, f2):
     """Grid (B/Bt, nb_d + 1): step 0 emits the leading NEG_INF pad block of
     Fpad (consumed by the blocked backward kernel as the d < 0 halo); steps
     dk >= 1 run kd diagonals of the recursion from VMEM-resident carries —
     kd-blocking amortizes the per-grid-step dispatch/DMA overhead that
-    dominates at one-diagonal blocks."""
+    dominates at one-diagonal blocks.
+
+    ``nh=2`` packs two W//2-lane problems side by side in the 128 lanes
+    (the band-width distribution under default expansion leaves true bands
+    ~24-45 wide, so full-width vregs run at ~18-32% lane occupancy; pairing
+    doubles useful lanes per vector op).  Per-(problem, diagonal) scalars
+    become per-half lane selects; shifts stop at the half boundary."""
     S = plan.n_states
+    HW = W // nh
     dk = pl.program_id(1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, 1, W), 2)
-    dlast = dlast_ref[...].reshape(Bt, 1, 1)
+    lane_h = lane if nh == 1 else jax.lax.rem(lane, jnp.int32(HW))
+    halfA = None if nh == 1 else lane < HW
+    dlast = (dlast_ref[...].reshape(Bt, 1, 1) if nh == 1 else
+             _half_col(dlast_ref[...].reshape(Bt, nh, 1), 0, Bt, halfA))
 
     def tp_of(e):
         t = None
@@ -237,16 +280,17 @@ def _forward_kernel(plan, Bt, W, kd, E_ref, ds_ref, dlast_ref, start_ref,
     def _():
         for k in range(kd):
             d = (dk - 1) * kd + k
-            ds = ds_ref[:, k, 0, :]  # (Bt, 8) int32
-            col = lambda i: ds[:, i:i + 1].reshape(Bt, 1, 1)
-            xmy = col(DS_W0) + 2 * lane
+            ds = ds_ref[:, k, :, :]  # (Bt, nh, 8) int32
+            col = lambda i, _ds=ds: _half_col(_ds, i, Bt, halfA)
+            xmy = col(DS_W0) + 2 * lane_h
             valid = ((xmy >= col(DS_XMYL)) & (xmy <= col(DS_XMYR))
                      & (d <= dlast))
 
             if k == 0:
                 @pl.when(dk == 1)
                 def _():
-                    cur = jnp.where(valid, start_ref[...][:, :, None], NEG_INF)
+                    sv = _half_vec(start_ref[...], S, halfA)
+                    cur = jnp.where(valid, sv, NEG_INF)
                     cur = jnp.broadcast_to(cur, (Bt, S, W))
                     f1[:] = cur
                     f2[:] = jnp.full((Bt, S, W), NEG_INF, jnp.float32)
@@ -255,9 +299,9 @@ def _forward_kernel(plan, Bt, W, kd, E_ref, ds_ref, dlast_ref, start_ref,
             def recur(k=k, valid=valid, col=col):
                 sL = col(DS_FL)
                 sM = col(DS_FM)
-                prevL = _shift(f1[:], sL)
-                prevU = _shift(f1[:], sL + 1)
-                prevM = _shift(f2[:], sM)
+                prevL = _shift(f1[:], sL, hw=HW)
+                prevU = _shift(f1[:], sL + 1, hw=HW)
+                prevM = _shift(f2[:], sM, hw=HW)
                 srcs = (prevL, prevM, prevU)
                 E = E_ref[:, k]
                 acc = [jnp.full((Bt, W), NEG_INF, jnp.float32) for _ in range(S)]
@@ -299,12 +343,14 @@ def _pick_bt(Bn: int, W: int, Bt: int | None, kd: int = 1,
 def forward_sm3(plan: EnginePlan, E, diag_scalars, d_last, start, tp_scalar,
                 Bt: int | None = None, kd: int = 8, interpret: bool = False):
     """E (B, >=Dp+kd, C, W) with rows >= Dp zero; diag_scalars
-    (B, >=Dp+1, 1, 8) int32 (see DS_*); start (B, S); tp_scalar (B, n).
-    Dp must be a multiple of kd.  Returns Fpad (B, Dp + kd, S, W) whose
-    first kd rows are NEG_INF (the backward halo); real row d lives at
-    kd + d."""
+    (B, >=Dp+1, nh, 8) int32 (see DS_*; nh=2 packs two W//2-lane problems
+    per row — d_last is then (B, 2) and start (B, 2*S)); start (B, nh*S);
+    tp_scalar (B, n), shared between packed halves.  Dp must be a multiple
+    of kd.  Returns Fpad (B, Dp + kd, S, W) whose first kd rows are NEG_INF
+    (the backward halo); real row d lives at kd + d."""
     Bn, _De, C, W = E.shape
     Dp = diag_scalars.shape[1] - 1
+    nh = diag_scalars.shape[2]
     S = plan.n_states
     assert Dp % kd == 0, (Dp, kd)
     assert _De >= Dp + kd
@@ -318,9 +364,10 @@ def forward_sm3(plan: EnginePlan, E, diag_scalars, d_last, start, tp_scalar,
 
     specs = [
         pl.BlockSpec((Bt, kd, C, W), dm1, memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, kd, 1, 8), dm1, memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, 1), lambda b, dk: (b, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, S), lambda b, dk: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, kd, nh, 8), dm1, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, nh), lambda b, dk: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, nh * S), lambda b, dk: (b, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, tp_scalar.shape[1]), lambda b, dk: (b, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -329,7 +376,7 @@ def forward_sm3(plan: EnginePlan, E, diag_scalars, d_last, start, tp_scalar,
         ds = jnp.pad(ds, ((0, 0), (0, nb_d * kd - ds.shape[1]), (0, 0), (0, 0)),
                      mode="edge")
     return pl.pallas_call(
-        partial(_forward_kernel, plan, Bt, W, kd),
+        partial(_forward_kernel, plan, Bt, W, kd, nh),
         grid=grid,
         in_specs=specs,
         out_specs=pl.BlockSpec((Bt, kd, S, W), lambda b, dk: (b, dk, 0, 0),
@@ -338,7 +385,7 @@ def forward_sm3(plan: EnginePlan, E, diag_scalars, d_last, start, tp_scalar,
         scratch_shapes=[pltpu.VMEM((Bt, S, W), jnp.float32),
                         pltpu.VMEM((Bt, S, W), jnp.float32)],
         interpret=interpret,
-    )(E, ds, d_last.reshape(Bn, 1), start, tp_scalar)
+    )(E, ds, d_last.reshape(Bn, nh), start, tp_scalar)
 
 
 # ---------------------------------------------------------------------------
@@ -364,7 +411,7 @@ def _lse_rows(v):
     return jnp.where(m <= NEG_INF, NEG_INF, out)
 
 
-def _backward_kernel(plan, Bt, W, Dp, kd, stages, wgroups, pgroups,
+def _backward_kernel(plan, Bt, W, Dp, kd, nh, stages, wgroups, pgroups,
                      Eb0_ref, Eb1_ref, Fp0_ref, Fp1_ref,
                      dsb0_ref, dsb1_ref, dlast_ref, end_ref, tps_ref,
                      p_ref, tot_ref, exit_ref, gacc_ref, stats_ref,
@@ -374,12 +421,17 @@ def _backward_kernel(plan, Bt, W, Dp, kd, stages, wgroups, pgroups,
     + EM tallies) against block-resident E/Fpad halos — row j0 of block bidx
     is diagonal d = bidx*kd + j0; Fpad carries a kd-row NEG_INF halo so
     d-1/d-2 reads at the low edge see NEG_INF exactly like the scan/window
-    engines."""
+    engines.  ``nh=2`` packs two W//2-lane problems per vreg row (see
+    _forward_kernel); totals/posteriors are then computed per half."""
     S = plan.n_states
+    HW = W // nh
     tb = pl.program_id(1)
     nb_d = Dp // kd
     lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, 1, W), 2)
-    dlast = dlast_ref[...].reshape(Bt, 1, 1)
+    lane_h = lane if nh == 1 else jax.lax.rem(lane, jnp.int32(HW))
+    halfA = None if nh == 1 else lane < HW
+    dlast = (dlast_ref[...].reshape(Bt, 1, 1) if nh == 1 else
+             _half_col(dlast_ref[...].reshape(Bt, nh, 1), 0, Bt, halfA))
     stats_lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, 128), 1)
 
     def tp_of(e):
@@ -388,6 +440,18 @@ def _backward_kernel(plan, Bt, W, Dp, kd, stages, wgroups, pgroups,
             c = tps_ref[:, i:i + 1]
             tval = c if tval is None else tval + c
         return 0.0 if tval is None else tval
+
+    def lse_h(v):
+        """Per-half row logsumexp: returns (lane-broadcast (Bt, 1, W|1),
+        compact (Bt, nh))."""
+        if nh == 1:
+            t = _lse_rows(v)
+            return t[:, :, None], t
+        mask = jnp.where(halfA, 0.0, NEG_INF)
+        tA = _lse_rows(v + mask)
+        tB = _lse_rows(v + (NEG_INF - mask))
+        return (jnp.where(halfA, tA[:, :, None], tB[:, :, None]),
+                jnp.concatenate([tA, tB], axis=1))
 
     @pl.when(tb == 0)
     def _():
@@ -400,11 +464,11 @@ def _backward_kernel(plan, Bt, W, Dp, kd, stages, wgroups, pgroups,
         j0 = kd - 1 - k
         d = (nb_d - 1 - tb) * kd + j0  # traced diagonal index
 
-        ds = dsb0_ref[:, j0, 0, :]
-        ds1 = (dsb0_ref[:, j0 + 1, 0, :] if j0 + 1 < kd
-               else dsb1_ref[:, 0, 0, :])
-        col = lambda i, _ds=ds: _ds[:, i:i + 1].reshape(Bt, 1, 1)
-        xmy = col(DS_W0) + 2 * lane
+        ds = dsb0_ref[:, j0, :, :]
+        ds1 = (dsb0_ref[:, j0 + 1, :, :] if j0 + 1 < kd
+               else dsb1_ref[:, 0, :, :])
+        col = lambda i, _ds=ds: _half_col(_ds, i, Bt, halfA)
+        xmy = col(DS_W0) + 2 * lane_h
         valid = (xmy >= col(DS_XMYL)) & (xmy <= col(DS_XMYR)) & (d <= dlast)
 
         E_d = Eb0_ref[:, j0]
@@ -430,36 +494,40 @@ def _backward_kernel(plan, Bt, W, Dp, kd, stages, wgroups, pgroups,
                 sh, bN, EN = sbM, b2[:], E_d2
             # summing the edge's E channels before the shift is exact: the
             # shift is linear with a 0.0 fill
-            val = (_shift(bN[:, e.to:e.to + 1, :], sh)[:, 0, :]
-                   + _shift(_esum(plan, EN, e)[:, None, :], sh, fill=0.0)[:, 0, :]
+            val = (_shift(bN[:, e.to:e.to + 1, :], sh, hw=HW)[:, 0, :]
+                   + _shift(_esum(plan, EN, e)[:, None, :], sh, fill=0.0,
+                            hw=HW)[:, 0, :]
                    + tp_of(e))
             acc[e.frm] = _ladd(acc[e.frm], val)
         cur = jnp.stack(acc, axis=1)
         # inject end-state probs at each problem's last real diagonal
-        cur = jnp.where(d == dlast, end_ref[...][:, :, None], cur)
+        cur = jnp.where(d == dlast, _half_vec(end_ref[...], S, halfA), cur)
         cur = jnp.where(valid, cur, NEG_INF)
 
         # --- per-diagonal total probability ---
         if stages >= 2:
             vmask = jnp.where(valid, 0.0, NEG_INF)
-            t1 = _lse_rows(F_d + cur + vmask)
+            t1, t1c = lse_h(F_d + cur + vmask)
             # match-through-diagonal correction: forward-extend F[d-1] by
             # MIDDLE edges onto diag d+1's grid, dot with b_{d+1}
-            sM1 = ds1[:, DS_FM:DS_FM + 1].reshape(Bt, 1, 1)
+            sM1 = _half_col(ds1, DS_FM, Bt, halfA)
             c_acc = [jnp.full((Bt, W), NEG_INF, jnp.float32) for _ in range(S)]
             for e in plan.edges:
                 if e.src != SRC_MIDDLE:
                     continue
-                val = (_shift(F_dm1[:, e.frm:e.frm + 1, :], sM1)[:, 0, :]
+                val = (_shift(F_dm1[:, e.frm:e.frm + 1, :], sM1,
+                              hw=HW)[:, 0, :]
                        + _esum(plan, E_d1, e) + tp_of(e))
                 c_acc[e.to] = _ladd(c_acc[e.to], val)
             c = jnp.stack(c_acc, axis=1)
-            t2 = _lse_rows(c + b1[:])
+            t2, t2c = lse_h(c + b1[:])
             have_t2 = (d >= 1) & (d < Dp - 1)
-            total = jnp.where(have_t2, _ladd(t1, t2), t1)   # (Bt, 1)
+            tot_lane = jnp.where(have_t2, _ladd(t1, t2), t1)
+            total = jnp.where(have_t2, _ladd(t1c, t2c), t1c)   # (Bt, nh)
             tot_ref[:, j0, 0, :] = total
         else:
-            total = jnp.zeros((Bt, 1), jnp.float32)
+            tot_lane = jnp.zeros((Bt, 1, 1), jnp.float32)
+            total = jnp.zeros((Bt, nh), jnp.float32)
             tot_ref[:, j0, 0, :] = total
 
         # --- posterior match probabilities ---
@@ -469,7 +537,8 @@ def _backward_kernel(plan, Bt, W, Dp, kd, stages, wgroups, pgroups,
             m = plan.match_state
             x_pos = xmy > -d   # x > 0
             y_pos = xmy < d    # y > 0
-            p = jnp.exp(jnp.minimum(F_d[:, m, :] + cur[:, m, :] - total, 0.0))
+            p = jnp.exp(jnp.minimum(F_d[:, m, :] + cur[:, m, :]
+                                    - tot_lane[:, 0, :], 0.0))
             p = jnp.where((valid & x_pos & y_pos)[:, 0, :], p, 0.0)
             p_ref[:, j0, 0] = p
         else:
@@ -519,7 +588,7 @@ def _backward_kernel(plan, Bt, W, Dp, kd, stages, wgroups, pgroups,
             lik_d = jnp.where((d >= 1) & (d <= dlast[:, :, 0]), total, 0.0)
             add = add + jnp.where(stats_lane == LIK_LANE, lik_d, 0.0)
             stats_acc[...] += add
-            s = ds[:, DS_XS:DS_XS + 1]                      # (Bt, 1) in {0,1}
+            s = ds[:, 0, DS_XS:DS_XS + 1]                   # (Bt, 1) in {0,1}
             exits = []
             for g in range(G):
                 gnew = gacc[g] + pg[g]
@@ -570,10 +639,13 @@ def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
     assignment masks (pairwiseAligner.c:445-476)."""
     Bn, _De, C, W = E.shape
     Dp = diag_scalars.shape[1] - 1
+    nh = diag_scalars.shape[2]
     S = plan.n_states
     assert Dp % kd == 0, (Dp, kd)
     assert _De >= Dp + kd and Fpad.shape[1] == Dp + kd
     assert pgroups is None or stages >= 4
+    assert nh == 1 or (stages <= 3 and pgroups is None), \
+        "half-packed (nh=2) buckets drive the alignment path only"
     if wgroups is None:
         wgroups = (tuple(ei for ei, e in enumerate(plan.edges)
                          if e.to == SHORT_GAP_X),)
@@ -597,16 +669,17 @@ def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
         pl.BlockSpec((Bt, kd, C, W), eblk(1), memory_space=pltpu.VMEM),  # E b1
         pl.BlockSpec((Bt, kd, S, W), eblk(0), memory_space=pltpu.VMEM),  # Fp b0
         pl.BlockSpec((Bt, kd, S, W), eblk(1), memory_space=pltpu.VMEM),  # Fp b1
-        pl.BlockSpec((Bt, kd, 1, 8), eblk(0), memory_space=pltpu.VMEM),  # ds b0
-        pl.BlockSpec((Bt, kd, 1, 8), eblk(1), memory_space=pltpu.VMEM),  # ds b1
-        pl.BlockSpec((Bt, 1), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, S), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, kd, nh, 8), eblk(0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, kd, nh, 8), eblk(1), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, nh), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, nh * S), lambda b, t: (b, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, tp_scalar.shape[1]), lambda b, t: (b, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_specs = (
         pl.BlockSpec((Bt, kd, P, W), eblk(0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, kd, 1, 1), eblk(0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, kd, 1, nh), eblk(0), memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, kd, 1, G), eblk(0), memory_space=pltpu.VMEM),
         pl.BlockSpec((Bt, G, W), lambda b, t: (b, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -615,13 +688,13 @@ def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
     )
     out_shape = (
         jax.ShapeDtypeStruct((Bn, Dp, P, W), jnp.float32),
-        jax.ShapeDtypeStruct((Bn, Dp, 1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Bn, Dp, 1, nh), jnp.float32),
         jax.ShapeDtypeStruct((Bn, Dp, 1, G), jnp.float32),
         jax.ShapeDtypeStruct((Bn, G, W), jnp.float32),
         jax.ShapeDtypeStruct((Bn, 1, 128), jnp.float32),
     )
     return pl.pallas_call(
-        partial(_backward_kernel, plan, Bt, W, Dp, kd, stages, wgroups,
+        partial(_backward_kernel, plan, Bt, W, Dp, kd, nh, stages, wgroups,
                 pgroups),
         grid=(nb, nb_d),
         in_specs=in_specs,
@@ -633,7 +706,7 @@ def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
                         pltpu.VMEM((G, Bt, W), jnp.float32)],
         interpret=interpret,
     )(E, E, Fpad, Fpad, ds, ds,
-      d_last.reshape(Bn, 1), end, tp_scalar)
+      d_last.reshape(Bn, nh), end, tp_scalar)
 
 
 # ---------------------------------------------------------------------------

@@ -10,5 +10,8 @@ void fastaRead(FILE *fastaFile,
                                    const char *sequence, int64_t length),
                void *destination);
 void fastaWrite(char *sequence, char *header, FILE *file);
+void fastaReadToFunction(FILE *fastaFile,
+                         void (*addSequence)(const char *, const char *,
+                                             int64_t));
 
 #endif

@@ -11,6 +11,9 @@
 #include <ctype.h>
 
 #include "sonLib.h"
+#include <math.h>
+#include "stGraph.h"
+#include "stPosetAlignment.h"
 #include "commonC.h"
 #include "pairwiseAlignment.h"
 #include "bioioC.h"
@@ -331,7 +334,7 @@ struct _stSortedSet {
 
 struct _stSortedSetIterator {
     stSortedSet *set;
-    int64_t index;
+    int64_t cur;       /* current position; -1 = libavl "null" traverser */
 };
 
 static int ptr_cmp(const void *a, const void *b) {
@@ -423,12 +426,17 @@ void *stSortedSet_getLast(stSortedSet *s) {
 stSortedSetIterator *stSortedSet_getIterator(stSortedSet *s) {
     stSortedSetIterator *it = st_malloc(sizeof(stSortedSetIterator));
     it->set = s;
-    it->index = 0;
+    it->cur = -1;
     return it;
 }
 
 void *stSortedSet_getNext(stSortedSetIterator *it) {
-    return it->index < it->set->length ? it->set->items[it->index++] : NULL;
+    if (it->cur + 1 >= it->set->length) {
+        it->cur = it->set->length;
+        return NULL;
+    }
+    it->cur++;
+    return it->set->items[it->cur];
 }
 
 void stSortedSet_destructIterator(stSortedSetIterator *it) {
@@ -451,6 +459,8 @@ struct _stSet {
     int64_t capacity;   /* power of two */
     int64_t size;
     void (*destructElement)(void *);
+    uint64_t (*hashFn)(const void *);          /* NULL = pointer identity */
+    int (*eqFn)(const void *, const void *);
 };
 
 struct _stSetIterator {
@@ -467,6 +477,8 @@ stSet *stSet_construct2(void (*destructElement)(void *)) {
     s->capacity = 64;
     s->slots = st_calloc(s->capacity, sizeof(void *));
     s->size = 0;
+    s->hashFn = NULL;
+    s->eqFn = NULL;
     s->destructElement = destructElement;
     return s;
 }
@@ -497,8 +509,10 @@ static uint64_t ptr_hash(void *p) {
 static void stSet_grow(stSet *s);
 
 static void **set_slot(stSet *s, void *object) {
-    uint64_t i = ptr_hash(object) & (s->capacity - 1);
-    while (s->slots[i] != NULL && s->slots[i] != object) {
+    uint64_t h = s->hashFn ? s->hashFn(object) : ptr_hash(object);
+    uint64_t i = h & (s->capacity - 1);
+    while (s->slots[i] != NULL && s->slots[i] != object
+           && !(s->eqFn != NULL && s->eqFn(s->slots[i], object))) {
         i = (i + 1) & (s->capacity - 1);
     }
     return &s->slots[i];
@@ -926,4 +940,455 @@ void fastaRead(FILE *fastaFile,
         free(name);
     }
     free(seq);
+}
+
+/* ====================================================================
+ * Additions for multipleAligner.c (cPecanRealign parity build): sorted-set
+ * extensions, a chained stHash, a hashed stSet variant, stGraph (Dijkstra),
+ * and a 2-sequence stPosetAlignment.  Clean-room implementations of the
+ * sonLib contracts the reference relies on.
+ * ==================================================================== */
+
+void *stSortedSet_getFirst(stSortedSet *s) {
+    return s->length ? s->items[0] : NULL;
+}
+
+/* libavl traverser semantics: a fresh iterator sits at the "null"
+ * position, so getNext starts at the FIRST element and getPrevious at the
+ * LAST; thereafter each call steps from the current position. */
+void *stSortedSet_getPrevious(stSortedSetIterator *it) {
+    stSortedSet *s = it->set;
+    if (it->cur == -1) {
+        it->cur = s->length;    /* null -> step back from one-past-end */
+    }
+    if (it->cur == 0) {
+        it->cur = -1;
+        return NULL;
+    }
+    it->cur--;
+    return s->items[it->cur];
+}
+
+void *stSortedSet_searchLessThan(stSortedSet *s, void *object) {
+    int64_t i = sset_lower(s, object);
+    return i > 0 ? s->items[i - 1] : NULL;
+}
+
+void *stSortedSet_searchGreaterThanOrEqual(stSortedSet *s, void *object) {
+    int64_t i = sset_lower(s, object);
+    return i < s->length ? s->items[i] : NULL;
+}
+
+void *stSortedSet_searchGreaterThan(stSortedSet *s, void *object) {
+    int64_t i = sset_lower(s, object);
+    while (i < s->length && s->cmp(s->items[i], object) == 0) {
+        i++;
+    }
+    return i < s->length ? s->items[i] : NULL;
+}
+
+void stSortedSet_setDestructor(stSortedSet *s, void (*destructElement)(void *)) {
+    s->destructElement = destructElement;
+}
+
+stIntTuple *stIntTuple_construct5(int64_t v1, int64_t v2, int64_t v3,
+                                  int64_t v4, int64_t v5) {
+    stIntTuple *t = st_malloc(6 * sizeof(int64_t));
+    t[0] = 5; t[1] = v1; t[2] = v2; t[3] = v3; t[4] = v4; t[5] = v5;
+    return t;
+}
+
+/* ---- stHash: chained hash table with custom hash/equals ---- */
+
+typedef struct _stHashEntry {
+    void *key;
+    void *value;
+    struct _stHashEntry *next;
+} stHashEntry;
+
+struct _stHash {
+    stHashEntry **buckets;
+    int64_t n_buckets;
+    int64_t size;
+    uint64_t (*hashFn)(const void *);
+    int (*eqFn)(const void *, const void *);
+    void (*destructKey)(void *);
+    void (*destructValue)(void *);
+};
+
+struct _stHashIterator {
+    stHash *h;
+    int64_t bucket;
+    stHashEntry *entry;
+};
+
+static uint64_t hash_ptr(const void *p) {
+    uint64_t v = (uint64_t) (size_t) p;
+    v ^= v >> 33; v *= 0xff51afd7ed558ccdULL; v ^= v >> 33;
+    return v;
+}
+
+static int eq_ptr(const void *a, const void *b) {
+    return a == b;
+}
+
+stHash *stHash_construct3(uint64_t (*hashFn)(const void *),
+                          int (*eqFn)(const void *, const void *),
+                          void (*destructKeys)(void *),
+                          void (*destructValues)(void *)) {
+    stHash *h = st_malloc(sizeof(stHash));
+    h->n_buckets = 64;
+    h->buckets = st_calloc(h->n_buckets, sizeof(stHashEntry *));
+    h->size = 0;
+    h->hashFn = hashFn ? hashFn : hash_ptr;
+    h->eqFn = eqFn ? eqFn : eq_ptr;
+    h->destructKey = destructKeys;
+    h->destructValue = destructValues;
+    return h;
+}
+
+stHash *stHash_construct2(void (*destructKeys)(void *),
+                          void (*destructValues)(void *)) {
+    return stHash_construct3(NULL, NULL, destructKeys, destructValues);
+}
+
+stHash *stHash_construct(void) {
+    return stHash_construct3(NULL, NULL, NULL, NULL);
+}
+
+void stHash_destruct(stHash *h) {
+    if (h == NULL) return;
+    for (int64_t i = 0; i < h->n_buckets; i++) {
+        stHashEntry *e = h->buckets[i];
+        while (e != NULL) {
+            stHashEntry *n = e->next;
+            if (h->destructKey) h->destructKey(e->key);
+            if (h->destructValue) h->destructValue(e->value);
+            free(e);
+            e = n;
+        }
+    }
+    free(h->buckets);
+    free(h);
+}
+
+static void hash_grow(stHash *h) {
+    int64_t nb = h->n_buckets * 4;
+    stHashEntry **b2 = st_calloc(nb, sizeof(stHashEntry *));
+    for (int64_t i = 0; i < h->n_buckets; i++) {
+        stHashEntry *e = h->buckets[i];
+        while (e != NULL) {
+            stHashEntry *n = e->next;
+            uint64_t j = h->hashFn(e->key) % nb;
+            e->next = b2[j];
+            b2[j] = e;
+            e = n;
+        }
+    }
+    free(h->buckets);
+    h->buckets = b2;
+    h->n_buckets = nb;
+}
+
+void stHash_insert(stHash *h, void *key, void *value) {
+    uint64_t j = h->hashFn(key) % h->n_buckets;
+    for (stHashEntry *e = h->buckets[j]; e != NULL; e = e->next) {
+        if (h->eqFn(e->key, key)) {
+            e->value = value;
+            return;
+        }
+    }
+    if (h->size > 2 * h->n_buckets) {
+        hash_grow(h);
+        j = h->hashFn(key) % h->n_buckets;
+    }
+    stHashEntry *e = st_malloc(sizeof(stHashEntry));
+    e->key = key; e->value = value; e->next = h->buckets[j];
+    h->buckets[j] = e;
+    h->size++;
+}
+
+void *stHash_search(stHash *h, void *key) {
+    uint64_t j = h->hashFn(key) % h->n_buckets;
+    for (stHashEntry *e = h->buckets[j]; e != NULL; e = e->next) {
+        if (h->eqFn(e->key, key)) return e->value;
+    }
+    return NULL;
+}
+
+void *stHash_remove(stHash *h, void *key) {
+    uint64_t j = h->hashFn(key) % h->n_buckets;
+    stHashEntry **p = &h->buckets[j];
+    while (*p != NULL) {
+        if (h->eqFn((*p)->key, key)) {
+            stHashEntry *e = *p;
+            void *v = e->value;
+            *p = e->next;
+            free(e);
+            h->size--;
+            return v;
+        }
+        p = &(*p)->next;
+    }
+    return NULL;
+}
+
+stHashIterator *stHash_getIterator(stHash *h) {
+    stHashIterator *it = st_malloc(sizeof(stHashIterator));
+    it->h = h;
+    it->bucket = -1;
+    it->entry = NULL;
+    return it;
+}
+
+void *stHash_getNext(stHashIterator *it) {
+    if (it->entry != NULL) {
+        it->entry = it->entry->next;
+    }
+    while (it->entry == NULL) {
+        it->bucket++;
+        if (it->bucket >= it->h->n_buckets) return NULL;
+        it->entry = it->h->buckets[it->bucket];
+    }
+    return it->entry->key;
+}
+
+void stHash_destructIterator(stHashIterator *it) {
+    free(it);
+}
+
+/* ---- hashed stSet variant: custom hash/equals on the open-addressed
+ * representation above ---- */
+
+stSet *stSet_construct3(uint64_t (*hashFn)(const void *),
+                        int (*eqFn)(const void *, const void *),
+                        void (*destructElement)(void *)) {
+    stSet *s = stSet_construct2(destructElement);
+    s->hashFn = hashFn;
+    s->eqFn = eqFn;
+    return s;
+}
+
+/* ---- stGraph: undirected weighted graph + Dijkstra (the spanning-tree
+ * distance machinery of multipleAligner.c:846-887; vertex counts are tiny
+ * (#sequences), so O(V^2) suffices) ---- */
+
+typedef struct _stGraphEdgeRec {
+    int64_t to;
+    double weight;
+    struct _stGraphEdgeRec *next;
+} stGraphEdgeRec;
+
+struct _stGraph {
+    int64_t n;
+    stGraphEdgeRec **adj;
+};
+
+stGraph *stGraph_construct(int64_t vertexNo) {
+    stGraph *g = st_malloc(sizeof(stGraph));
+    g->n = vertexNo;
+    g->adj = st_calloc(vertexNo, sizeof(stGraphEdgeRec *));
+    return g;
+}
+
+void stGraph_destruct(stGraph *g) {
+    for (int64_t i = 0; i < g->n; i++) {
+        stGraphEdgeRec *e = g->adj[i];
+        while (e != NULL) {
+            stGraphEdgeRec *nx = e->next;
+            free(e);
+            e = nx;
+        }
+    }
+    free(g->adj);
+    free(g);
+}
+
+void stGraph_addEdge(stGraph *g, int64_t v1, int64_t v2, double weight) {
+    for (int64_t k = 0; k < 2; k++) {
+        stGraphEdgeRec *e = st_malloc(sizeof(stGraphEdgeRec));
+        e->to = k ? v1 : v2;
+        e->weight = weight;
+        int64_t from = k ? v2 : v1;
+        e->next = g->adj[from];
+        g->adj[from] = e;
+    }
+}
+
+double *stGraph_shortestPaths(stGraph *g, int64_t sourceVertex) {
+    double *dist = st_malloc(g->n * sizeof(double));
+    char *done = st_calloc(g->n, 1);
+    for (int64_t i = 0; i < g->n; i++) {
+        dist[i] = INFINITY;
+    }
+    dist[sourceVertex] = 0.0;
+    for (int64_t it = 0; it < g->n; it++) {
+        int64_t u = -1;
+        for (int64_t i = 0; i < g->n; i++) {
+            if (!done[i] && (u < 0 || dist[i] < dist[u])) {
+                u = i;
+            }
+        }
+        if (u < 0 || dist[u] == INFINITY) {
+            break;
+        }
+        done[u] = 1;
+        for (stGraphEdgeRec *e = g->adj[u]; e != NULL; e = e->next) {
+            if (dist[u] + e->weight < dist[e->to]) {
+                dist[e->to] = dist[u] + e->weight;
+            }
+        }
+    }
+    free(done);
+    return dist;
+}
+
+/* ---- stPosetAlignment: pairwise-consistency partial order.  Exact for
+ * two sequences (the only case the cPecanRealign path exercises: aligned
+ * pairs between seqX and seqY must be strictly monotone); for more
+ * sequences this checks per-pair monotonicity without transitive closure,
+ * which is sufficient for the progressive-MSA callers compiled here. ---- */
+
+typedef struct _stPosetPairList {
+    int64_t *xs, *ys;
+    int64_t n, cap;
+} stPosetPairList;
+
+struct _stPosetAlignment {
+    int64_t seqNo;
+    stPosetPairList *pairs;   /* seq1 * seqNo + seq2, seq1 < seq2 */
+};
+
+stPosetAlignment *stPosetAlignment_construct(int64_t sequenceNumber) {
+    stPosetAlignment *p = st_malloc(sizeof(stPosetAlignment));
+    p->seqNo = sequenceNumber;
+    p->pairs = st_calloc(sequenceNumber * sequenceNumber,
+                         sizeof(stPosetPairList));
+    return p;
+}
+
+void stPosetAlignment_destruct(stPosetAlignment *p) {
+    for (int64_t i = 0; i < p->seqNo * p->seqNo; i++) {
+        free(p->pairs[i].xs);
+        free(p->pairs[i].ys);
+    }
+    free(p->pairs);
+    free(p);
+}
+
+int64_t stPosetAlignment_getSequenceNumber(stPosetAlignment *p) {
+    return p->seqNo;
+}
+
+static stPosetPairList *poset_list(stPosetAlignment *p, int64_t *s1,
+                                   int64_t *p1, int64_t *s2, int64_t *p2) {
+    if (*s1 > *s2) {
+        int64_t t = *s1; *s1 = *s2; *s2 = t;
+        t = *p1; *p1 = *p2; *p2 = t;
+    }
+    return &p->pairs[*s1 * p->seqNo + *s2];
+}
+
+bool stPosetAlignment_isPossible(stPosetAlignment *p, int64_t seq1,
+                                 int64_t position1, int64_t seq2,
+                                 int64_t position2) {
+    stPosetPairList *l = poset_list(p, &seq1, &position1, &seq2, &position2);
+    for (int64_t i = 0; i < l->n; i++) {
+        int64_t dx = l->xs[i] - position1, dy = l->ys[i] - position2;
+        if ((dx <= 0 && dy >= 0) || (dx >= 0 && dy <= 0)) {
+            if (!(dx == 0 && dy == 0)) {
+                return 0;
+            }
+        }
+    }
+    return 1;
+}
+
+bool stPosetAlignment_add(stPosetAlignment *p, int64_t seq1,
+                          int64_t position1, int64_t seq2,
+                          int64_t position2) {
+    if (!stPosetAlignment_isPossible(p, seq1, position1, seq2, position2)) {
+        return 0;
+    }
+    stPosetPairList *l = poset_list(p, &seq1, &position1, &seq2, &position2);
+    if (l->n == l->cap) {
+        l->cap = l->cap ? l->cap * 2 : 16;
+        l->xs = realloc(l->xs, l->cap * sizeof(int64_t));
+        l->ys = realloc(l->ys, l->cap * sizeof(int64_t));
+    }
+    l->xs[l->n] = position1;
+    l->ys[l->n] = position2;
+    l->n++;
+    return 1;
+}
+
+/* string-keyed hashing for stHash (cPecanRealign's sequence map) */
+uint64_t stHash_stringKey(const void *k) {
+    const char *c = k;
+    uint64_t h = 1469598103934665603ULL;
+    while (*c) {
+        h ^= (uint64_t) (unsigned char) *c++;
+        h *= 1099511628211ULL;
+    }
+    return h;
+}
+
+int stHash_stringEqualKey(const void *key1, const void *key2) {
+    return strcmp(key1, key2) == 0;
+}
+
+/* ---- remaining cPecanRealign deps ---- */
+
+stList *stList_filter2(stList *list, bool (*fn)(void *, void *), void *extra) {
+    stList *out = stList_construct();
+    for (int64_t i = 0; i < stList_length(list); i++) {
+        void *item = stList_get(list, i);
+        if (fn(item, extra)) {
+            stList_append(out, item);
+        }
+    }
+    return out;
+}
+
+void stList_mapReplace(stList *list, void *(*fn)(void *, void *), void *extra) {
+    for (int64_t i = 0; i < stList_length(list); i++) {
+        stList_set(list, i, fn(stList_get(list, i), extra));
+    }
+}
+
+void *stHash_removeAndFreeKey(stHash *h, void *key) {
+    uint64_t j = h->hashFn(key) % h->n_buckets;
+    stHashEntry **p = &h->buckets[j];
+    while (*p != NULL) {
+        if (h->eqFn((*p)->key, key)) {
+            stHashEntry *e = *p;
+            void *v = e->value;
+            *p = e->next;
+            if (e->key != key) {
+                free(e->key);
+            }
+            free(e);
+            h->size--;
+            return v;
+        }
+        p = &(*p)->next;
+    }
+    return NULL;
+}
+
+static void fasta_to_fn_adapter(void *destination, const char *name,
+                                const char *sequence, int64_t length) {
+    void (*f)(const char *, const char *, int64_t) =
+        (void (*)(const char *, const char *, int64_t)) destination;
+    f(name, sequence, length);
+}
+
+void fastaReadToFunction(FILE *fastaFile,
+                         void (*addSequence)(const char *, const char *,
+                                             int64_t)) {
+    fastaRead(fastaFile, fasta_to_fn_adapter, (void *) addSequence);
+}
+
+bool stString_eq(const char *a, const char *b) {
+    return strcmp(a, b) == 0;
 }

@@ -77,6 +77,39 @@ stSortedSetIterator *stSortedSet_getIterator(stSortedSet *sortedSet);
 void *stSortedSet_getNext(stSortedSetIterator *iterator);
 void stSortedSet_destructIterator(stSortedSetIterator *iterator);
 
+/* ---- stSortedSet extensions (multipleAligner) ---- */
+void *stSortedSet_getFirst(stSortedSet *sortedSet);
+void *stSortedSet_getPrevious(stSortedSetIterator *iterator);
+void *stSortedSet_searchLessThan(stSortedSet *sortedSet, void *object);
+void *stSortedSet_searchGreaterThanOrEqual(stSortedSet *sortedSet, void *object);
+void *stSortedSet_searchGreaterThan(stSortedSet *sortedSet, void *object);
+void stSortedSet_setDestructor(stSortedSet *sortedSet,
+                               void (*destructElement)(void *));
+stIntTuple *stIntTuple_construct5(int64_t v1, int64_t v2, int64_t v3,
+                                  int64_t v4, int64_t v5);
+
+/* ---- stHash ---- */
+stHash *stHash_construct(void);
+stHash *stHash_construct2(void (*destructKeys)(void *),
+                          void (*destructValues)(void *));
+stHash *stHash_construct3(uint64_t (*hashFn)(const void *),
+                          int (*eqFn)(const void *, const void *),
+                          void (*destructKeys)(void *),
+                          void (*destructValues)(void *));
+void stHash_destruct(stHash *hash);
+void stHash_insert(stHash *hash, void *key, void *value);
+void *stHash_search(stHash *hash, void *key);
+void *stHash_remove(stHash *hash, void *key);
+stHashIterator *stHash_getIterator(stHash *hash);
+void *stHash_getNext(stHashIterator *iterator);
+void stHash_destructIterator(stHashIterator *iterator);
+uint64_t stHash_stringKey(const void *k);
+int stHash_stringEqualKey(const void *key1, const void *key2);
+void *stHash_removeAndFreeKey(stHash *hash, void *key);
+stList *stList_filter2(stList *list, bool (*fn)(void *, void *), void *extra);
+void stList_mapReplace(stList *list, void *(*fn)(void *, void *), void *extra);
+bool stString_eq(const char *a, const char *b);
+
 /* ---- stSet (pointer-identity set) ---- */
 stSet *stSet_construct(void);
 stSet *stSet_construct2(void (*destructElement)(void *));
@@ -85,6 +118,9 @@ void stSet_insert(stSet *set, void *object);
 void *stSet_search(stSet *set, void *object);
 void *stSet_remove(stSet *set, void *object);
 int64_t stSet_size(stSet *set);
+stSet *stSet_construct3(uint64_t (*hashFn)(const void *),
+                        int (*eqFn)(const void *, const void *),
+                        void (*destructElement)(void *));
 stSetIterator *stSet_getIterator(stSet *set);
 void *stSet_getNext(stSetIterator *iterator);
 void stSet_destructIterator(stSetIterator *iterator);

@@ -24,6 +24,8 @@ typedef struct _stSortedSetIterator stSortedSetIterator;
 typedef struct _stSet stSet;
 typedef struct _stSetIterator stSetIterator;
 typedef struct _stHash stHash;
+typedef struct _stHashIterator stHashIterator;
+typedef struct _stGraph stGraph;
 typedef int64_t stIntTuple;
 
 #endif

@@ -205,3 +205,80 @@ def test_pallas_distributed_train_step():
     np.testing.assert_allclose(np.asarray(trans_d), np.asarray(trans_n), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(kmer_d), np.asarray(kmer_n), rtol=1e-5, atol=1e-7)
     assert abs(float(lik_d) - float(lik)) < 1e-3 * max(abs(float(lik)), 1.0)
+
+
+def test_pallas_paired_half_packing():
+    """nh=2 half-packed pipeline (two 64-lane problems per vreg row) must
+    reproduce the unpaired pipeline on each half: posteriors, totals, with
+    per-half d_last / ragged boundaries exercised."""
+    from cpecan_signal_tpu.core.anchors import (anchors_in_window,
+                                                get_split_points)
+
+    with open(REF) as fh:
+        ref_seq = fh.readline().strip()
+    npread = load_npread(NPREAD)
+    tp = npread.template_params
+    pore = scale_model(load_pore_model(MODEL), tp.scale, tp.shift, tp.var,
+                       tp.scale_sd, tp.var_sd)
+    params = AlignmentParams()
+
+    # synthetic reads with guide-density anchors (the production shape:
+    # most split jobs' true bands fit 64 lanes under expansion 20)
+    rng = np.random.default_rng(11)
+    cases = []
+    flags = [(True, True), (True, False), (False, True), (True, True)]
+    sub = ref_seq[:400]
+    from cpecan_signal_tpu.core.kmers import sequence_kmer_ranks
+    while len(cases) < 4:
+        n = int(rng.integers(150, 320))
+        lo = int(rng.integers(0, 400))
+        target = ref_seq[lo:lo + n]
+        ranks = sequence_kmer_ranks(target)
+        ev, path, k = [], [], 0
+        while k < len(ranks):
+            r = pore.match_model[ranks[k]]
+            ev.append((r[0] + rng.normal(0, .6), max(r[2], .3), .01))
+            path.append((k, len(ev) - 1))
+            u = rng.random()
+            if u < 0.10:
+                continue
+            k += 1 + (u > 0.96)
+        ev = np.asarray(ev)
+        a = filter_to_remove_overlap(np.asarray(path[::20], dtype=np.int64))
+        band = band_construct(a, len(ranks), len(ev),
+                              params.diagonal_expansion)
+        wb = smooth_band(band, width_multiple=64)
+        if wb.W != 64 or wb.n_diagonals < 40:
+            continue
+        rl, rr = flags[len(cases)]
+        cases.append((target, ev, wb, rl, rr))
+
+    Dp = max(wb.n_diagonals for *_x, wb, _rl, _rr in cases) + 2
+    lxp = max(len(t) for t, *_x in cases)
+    lyp = max(len(e) for _t, e, *_x in cases)
+    plan = None
+    probs = []
+    for (t_sub, ev, wb, rl, rr) in cases:
+        plan, prob = pp.make_sm3_pallas_problem(
+            pore, t_sub, ev, wb, ragged_left=rl, ragged_right=rr,
+            pad_lx=lxp, pad_ly=lyp, pad_d=Dp)
+        probs.append(prob)
+    batch = pp.stack_problems(probs)
+
+    # unpaired reference at HW lanes
+    p1, tot1, *_r = [np.asarray(o) for o in
+                     pp.run_sm3_pallas(plan, 64, batch, stages=3,
+                                       interpret=True)]
+    # paired: 2 packed rows
+    p2, tot2 = [np.asarray(o) for o in
+                pp.run_sm3_pallas_paired(plan, 64, batch, interpret=True)]
+    assert p2.shape[0] == 2 and p2.shape[2] == 128
+    for pair in range(2):
+        for half in range(2):
+            i = 2 * pair + half
+            D = cases[i][2].n_diagonals
+            sl = slice(64 * half, 64 * half + 64)
+            np.testing.assert_allclose(p2[pair, :D, sl], p1[i, :D], atol=1e-6)
+            fin = np.isfinite(tot1[i, :D]) & (np.abs(tot1[i, :D]) < 1e29)
+            np.testing.assert_allclose(tot2[pair, :D, half][fin],
+                                       tot1[i, :D][fin], rtol=1e-5)
