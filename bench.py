@@ -651,9 +651,31 @@ def main():
         outs = realign_records_batched(recs, seqs2, params)
         rt.append(time.perf_counter() - t0)
     rdt2 = min(rt)
+    # reference realigner baseline (parity build of cPecanRealign.c:556-645,
+    # single core) on the SAME cigars/sequences
+    vs_re = ""
+    realign_bin = os.path.join(REPO, "parity", "build", "cPecanRealign")
+    if os.path.exists(realign_bin):
+        with tempfile.TemporaryDirectory() as td:
+            fa = os.path.join(td, "seqs.fa")
+            with open(fa, "w") as fh:
+                for name, sq in seqs2.items():
+                    fh.write(f">{name}\n{sq}\n")
+            cig = "\n".join(r.to_line() for r in recs) + "\n"
+            rts = []
+            for _i in range(2):
+                t0 = time.perf_counter()
+                rr = subprocess.run([realign_bin, fa], input=cig,
+                                    capture_output=True, text=True,
+                                    timeout=900)
+                rts.append(time.perf_counter() - t0)
+            if rr.returncode == 0:
+                vs_re = (f"; reference cPecanRealign single-core "
+                         f"{min(rts)*1e3:.0f} ms -> {min(rts)/rdt2:.2f}x")
     log(f"bench - realign (batched fiveState, generic pallas path): "
         f"{len(recs)} CIGARs / {n_bases_re} bases in {rdt2*1000:.0f} ms "
-        f"({n_bases_re/rdt2:,.0f} bases/s, {len(recs)/rdt2:.1f} records/s)")
+        f"({n_bases_re/rdt2:,.0f} bases/s, {len(recs)/rdt2:.1f} records/s)"
+        f"{vs_re}")
 
     if os.environ.get("BENCH_GIBBS", "1") != "0":
         gibbs_throughput()
