@@ -209,26 +209,30 @@ def train(ref_path: str, npread_paths: list[str], template_model_path: str,
         if sm_type not in ("threeState", "vanilla", "threeStateHdp"):
             raise ValueError("the pallas EM engine drives threeState/vanilla/"
                              "threeStateHdp")
-        from ..em.pallas_em import (build_hdp_em_buckets,
+        from ..em.pallas_em import (_EmBudget, build_hdp_em_buckets,
                                     build_sm3_em_buckets,
                                     build_vanilla_em_buckets,
                                     collect_hdp_em_jobs,
                                     collect_sm3_em_jobs, hdp_em_step,
                                     sm3_em_step, vanilla_em_step)
         buckets = {}
+        em_budget = _EmBudget()   # shared across strands: one HBM
         for strand in ("t", "c"):
             if sm_type == "threeStateHdp":
                 sj = collect_hdp_em_jobs(reads, params, strand)
                 buckets[strand] = build_hdp_em_buckets(
-                    sj, threshold=assignment_threshold)
+                    sj, threshold=assignment_threshold, budget=em_budget)
             else:
                 sj = collect_sm3_em_jobs(reads, models, params, strand)
                 if sm_type == "threeState":
-                    buckets[strand] = build_sm3_em_buckets(sj)
+                    buckets[strand] = build_sm3_em_buckets(sj,
+                                                           budget=em_budget)
                 else:
-                    buckets[strand] = build_vanilla_em_buckets(sj, strand)
+                    buckets[strand] = build_vanilla_em_buckets(
+                        sj, strand, budget=em_budget)
             log(f"train_models - pallas EM strand {strand}: {len(sj)} split "
                 f"jobs in {len(buckets[strand])} device buckets")
+        log(f"train_models - EM bucket memory: {em_budget.summary()}")
 
     state = {s: {"transitions": None, "kmer_gaps": None, "bins": None}
              for s in ("t", "c")}

