@@ -502,6 +502,86 @@ def main():
     log(f"bench - vanilla (generic per-cell pallas path) {vdt*1000:.1f} ms "
         f"({ev_total/vdt:,.0f} ev/s)")
 
+    # --- echelon (multi-state posteriors) and threeStateHdp (on-device
+    # density interpolation) through the same window kernels: the two
+    # machines round 4 left host-serial (VERDICT r4 missing #3/#4) ---
+    from cpecan_signal_tpu.models.state_machines import (make_signal_echelon,
+                                                         make_signal_sm3_hdp)
+    ejit = []
+    for (W, Dpb), ids in sorted(buckets128.items()):
+        uniq = sorted(set(ids))
+        De = max(pieces_of[i][j][8].n_diagonals for i, j in uniq) + 2
+        probs = {}
+        eplan = None
+        for i, j in uniq:
+            pore, target, events, _wba, _cov, _a, _mp, _sp, wb = \
+                pieces_of[i][j]
+            strand = ("complement" if "complement" in raw[i][6]
+                      else "template")
+            sm = make_signal_echelon(pore, target, events, strand)
+            eplan, probs[(i, j)] = pp.make_window_pallas_problem(sm, wb,
+                                                                 pad_d=De)
+        ebatch = pp.stack_problems([probs[t] for t in ids])
+        pst = tuple(range(eplan.match_state, 6))
+        ejit.append(repeat_jit(lambda b, plan=eplan, W=W, pst=pst:
+                               pp.run_window_pallas(plan, W, b, pstates=pst),
+                               ebatch))
+    edt = measure(ejit)
+    log(f"bench - echelon (multi-state posterior channels, device) "
+        f"{edt*1000:.1f} ms ({ev_total/edt:,.0f} ev/s)")
+
+    if os.environ.get("BENCH_HDP_ALIGN", "1") != "0":
+        from cpecan_signal_tpu.engine.batch_align import _hdp_align_fn
+        from cpecan_signal_tpu.hdp.nanopore import build_nanopore_hdp
+        nhdp_b = build_nanopore_hdp("flat", TMODEL, alphabet="ACGT",
+                                    grid=(30.0, 120.0, 120), seed=3)
+        rngh = np.random.default_rng(8)
+        kmers_h = ["".join(rngh.choice(list("ACGT"), 6)) for _ in range(300)]
+        nhdp_b.set_assignments(kmers_h, list(rngh.uniform(45.0, 95.0, 300)))
+        nhdp_b.gibbs(num_samples=30, burn_in=300, thinning=10)
+        nhdp_b.finalize()
+        density_b = nhdp_b.density_logp_fn()
+        tab_b, g0_b, dg_b = density_b.density_table
+        import jax.numpy as jnp2
+        tab_d = jnp2.asarray(np.maximum(tab_b, 0.0), dtype=jnp2.float32)
+        zero = lambda r, m: np.zeros(np.broadcast(r, m).shape)
+        hjit = []
+        for (W, Dpb), ids in sorted(buckets128.items()):
+            uniq = sorted(set(ids))
+            Dh = max(pieces_of[i][j][8].n_diagonals for i, j in uniq) + 2
+            probs = {}
+            hplan = None
+            Dpq = Lc = None
+            rks, mns = {}, {}
+            for i, j in uniq:
+                pore, target, events, _wba, _cov, _a, _mp, _sp, wb = \
+                    pieces_of[i][j]
+                sm = make_signal_sm3_hdp(zero, target, events)
+                hplan, prob = pp.make_window_pallas_problem(sm, wb, pad_d=Dh)
+                probs[(i, j)] = prob
+                Dpq = prob.diag_scalars.shape[0] - 1
+                Lc = Dpq + 2
+                r = np.asarray(sm.kmer_ranks, dtype=np.int32)
+                rp = np.full(Lc, r[-1], dtype=np.int32)
+                rp[:len(r)] = r
+                rks[(i, j)] = rp
+                mu = np.zeros(Lc, dtype=np.float32)
+                mu[1:1 + len(events)] = events[:, 0]
+                if len(events):
+                    mu[1 + len(events):] = events[-1, 0]
+                mns[(i, j)] = mu
+            hbatch = pp.stack_problems([probs[t] for t in ids])
+            rk_d = jnp2.asarray(np.stack([rks[t] for t in ids]))
+            mn_d = jnp2.asarray(np.stack([mns[t] for t in ids]))
+            fn = _hdp_align_fn(hplan, W, Dpq, Lc, False)
+            wrapped = (lambda b, fn=fn, rk=rk_d, mn=mn_d:
+                       fn(b, rk, mn, tab_d, np.float32(g0_b),
+                          np.float32(dg_b)))
+            hjit.append(repeat_jit(wrapped, hbatch))
+        hdt = measure(hjit)
+        log(f"bench - threeStateHdp alignment (on-device density interp) "
+            f"{hdt*1000:.1f} ms ({ev_total/hdt:,.0f} ev/s)")
+
     # HBM-traffic estimate for the roofline sanity check (fused path: F is
     # the only large tensor — written once, read twice by the halo blocks)
     gb = 0.0

@@ -159,8 +159,8 @@ def align_read(ref_seq: str, contig: str, npread: NanoporeRead,
 
     device_batch=True stacks both strands' split jobs into one device batch
     through the Pallas window path (engine/batch_align) instead of running
-    per-strand serial scans; echelon (multi-state posterior extraction) stays
-    on the serial path."""
+    per-strand serial scans; echelon rides the same path with one posterior
+    channel per matchN state (ops/pallas_fb pstates)."""
     prep = prepare_read(ref_seq, npread, params, sm_type=sm_type, guide=guide,
                         substitute=substitute,
                         template_model=template_model,
@@ -285,7 +285,7 @@ def compute_pairs(prep: dict, params: AlignmentParams, sm_type: str, *,
     (both strands' split jobs stacked) or serial."""
     empty = AlignedPairs(*(np.zeros(0, dtype=np.int64),) * 3)
     pairs_by_strand: dict[str, AlignedPairs] = {}
-    if device_batch and sm_type != "echelon":
+    if device_batch:
         from ..engine.align import collect_split_jobs
         from ..engine.batch_align import assemble_pairs, batch_align_jobs
         all_jobs, owners = [], []

@@ -364,7 +364,8 @@ def run_window_pallas(plan: fb.EnginePlan, W: int, batch: WindowPallasProblem,
                       Bt: int | None = None, stages: int = 3,
                       interpret: bool = False,
                       wgroups: tuple[tuple[int, ...], ...] | None = None,
-                      pgroups: tuple[tuple[int, ...], ...] | None = None):
+                      pgroups: tuple[tuple[int, ...], ...] | None = None,
+                      pstates: tuple[int, ...] | None = None):
     """Forward -> fused backward on a stacked WindowPallasProblem batch.
     Returns (p (B, Dp, W) posterior match probs, totals (B, Dp)) for
     stages <= 3; with stages=4 additionally (exits (B, Dp, G), gacc
@@ -379,8 +380,9 @@ def run_window_pallas(plan: fb.EnginePlan, W: int, batch: WindowPallasProblem,
     p, totals, exits, gacc, stats = pk.backward_sm3(
         plan, batch.E, F, batch.diag_scalars, batch.d_last, batch.end,
         batch.tp_scalar, Bt=Bt, kd=kd, stages=stages, interpret=interpret,
-        wgroups=wgroups, pgroups=pgroups)
-    p_out = p if pgroups is not None else p[:, :, 0, :]
+        wgroups=wgroups, pgroups=pgroups, pstates=pstates)
+    p_out = (p if pgroups is not None or pstates is not None
+             else p[:, :, 0, :])
     if stages >= 4:
         return (p_out, totals[:, :, 0, 0], exits[:, :, 0, :],
                 gacc, stats[:, 0, :])

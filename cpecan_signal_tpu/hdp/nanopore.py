@@ -297,6 +297,12 @@ class NanoporeHDP:
                                                                          len(grid) - 1)]
             return np.maximum(v, 0.0)
 
+        # the same table, exposed for the device alignment fast path
+        # (make_signal_sm3_hdp builds sm.hdp_pack from it; the device does
+        # this exact interpolation on chip, engine/batch_align hdp buckets)
+        density_logp.density_table = (table.astype(np.float32),
+                                      float(grid[0]),
+                                      float(grid[1] - grid[0]))
         return density_logp
 
     def serialize_chain(self, path: str) -> None:

