@@ -148,7 +148,7 @@ def evolve_sequence(seq, rng, sub=0.05, indel=0.02):
 
 
 def simulate_read(pore, target, rng, stay=0.10, skip=0.04, noise_sd=0.6,
-                  anchor_stride=None):
+                  anchor_stride=None, return_path=False):
     """Simulate an event sequence from the pore model walking the target's
     k-mers with stay/skip moves (the threeState generative process), plus
     guide-like anchors subsampled from the true path (``anchor_stride``
@@ -179,6 +179,8 @@ def simulate_read(pore, target, rng, stay=0.10, skip=0.04, noise_sd=0.6,
             anchors.append((x, y))
     from cpecan_signal_tpu.core.anchors import filter_to_remove_overlap
     anchors = filter_to_remove_overlap(np.asarray(anchors, dtype=np.int64))
+    if return_path:
+        return events, anchors, np.asarray(path, dtype=np.int64)
     return events, anchors
 
 
@@ -695,6 +697,46 @@ def main():
         log(f"bench - long read: {len(lr[1])} bases, {len(lr[2])} events, "
             f"{len(jobs_lr)} split jobs, aligned in {ldt*1000:.0f} ms "
             f"({len(lr[2])/ldt:,.0f} ev/s, {n_lr} pairs)")
+
+    # --- alignment quality on synthetic truth (the generator's exact
+    # (kmer, event) path is known): posterior recall / precision at three
+    # noise levels — production-readiness evidence beyond throughput ---
+    from cpecan_signal_tpu.io.fasta import read_first_sequence as _rfs
+    _, ref_q = _rfs(REF)
+    tpore_q = next(p for (p, *_r) in raw)
+    qual_lines = []
+    for noise_sd in (0.6, 1.2, 2.0):
+        rngq = np.random.default_rng(int(noise_sd * 10) + 1)
+        tp = fp = fn_ = 0
+        post_true = []
+        for t in range(4):
+            nq = int(rngq.integers(400, 800))
+            lo = int(rngq.integers(0, max(len(ref_q) - nq - 1, 1)))
+            tq = evolve_sequence(ref_q[lo:lo + nq], rngq, 0.03, 0.01)
+            ev_q, an_q, path_q = simulate_read(tpore_q, tq, rngq,
+                                               noise_sd=noise_sd,
+                                               return_path=True)
+            def gq():
+                mk = lambda a, b, _p=tpore_q: make_signal_sm3(_p, a, b)
+                yield collect_split_jobs(mk, tq, ev_q, an_q, align_params)
+            _j, prs = batch_align_stream(gq(), params.threshold)
+            got = {}
+            for p_ in prs:
+                for pr, x, y in zip(p_.probs, p_.x, p_.y):
+                    got[(int(x), int(y))] = max(got.get((int(x), int(y)), 0),
+                                                int(pr))
+            truth_q = set(map(tuple, path_q.tolist()))
+            called = {k for k, v in got.items() if v >= 5_000_000}
+            tp += len(called & truth_q)
+            fp += len(called - truth_q)
+            fn_ += len(truth_q - called)
+            post_true.extend(got.get(k, 0) / 1e7 for k in truth_q)
+        qual_lines.append(
+            f"noise_sd={noise_sd}: recall {tp / max(tp + fn_, 1):.3f} "
+            f"precision {tp / max(tp + fp, 1):.3f} "
+            f"mean-posterior-on-truth {np.mean(post_true):.3f}")
+    log("bench - alignment quality vs synthetic truth (p >= 0.5 calls): "
+        + "; ".join(qual_lines))
 
     # --- nucleotide realignment throughput (cPecanRealign path): CIGAR
     # records batched through the generic window Pallas path

@@ -321,10 +321,11 @@ def batch_align_stream(per_read_jobs, threshold: float, *,
         for j in jl:
             i = len(jobs)
             jobs.append(j)
-            # sm3-packable jobs whose true band fits 64 lanes (virtually
-            # all split jobs under default expansion) get a 64-lane window
-            # and run half-packed, two per kernel vreg row
-            if getattr(j.sm, "sm3_pack", None) is not None:
+            # sm3-packable and symbol jobs whose true band fits 64 lanes
+            # (virtually all split jobs under default expansion) get a
+            # 64-lane window and run half-packed, two per kernel vreg row
+            if (getattr(j.sm, "sm3_pack", None) is not None
+                    or getattr(j.sm, "symbol_codes", None) is not None):
                 wb = smooth_band(j.band, width_multiple=64)
                 if wb.W != 64:
                     wb = smooth_band(j.band, width_multiple=width_multiple)

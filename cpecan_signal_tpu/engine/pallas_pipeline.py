@@ -365,7 +365,8 @@ def run_window_pallas(plan: fb.EnginePlan, W: int, batch: WindowPallasProblem,
                       interpret: bool = False,
                       wgroups: tuple[tuple[int, ...], ...] | None = None,
                       pgroups: tuple[tuple[int, ...], ...] | None = None,
-                      pstates: tuple[int, ...] | None = None):
+                      pstates: tuple[int, ...] | None = None,
+                      kd: int | None = None):
     """Forward -> fused backward on a stacked WindowPallasProblem batch.
     Returns (p (B, Dp, W) posterior match probs, totals (B, Dp)) for
     stages <= 3; with stages=4 additionally (exits (B, Dp, G), gacc
@@ -373,7 +374,8 @@ def run_window_pallas(plan: fb.EnginePlan, W: int, batch: WindowPallasProblem,
     selecting the per-x windowed posterior groups (see
     ops/pallas_fb.backward_sm3).  With ``pgroups`` the p output instead
     carries per-edge-group posterior channels (B, Dp, P, W)."""
-    kd = 2 if interpret else pk.KD
+    if kd is None:
+        kd = 2 if interpret else pk.KD
     F = pk.forward_sm3(plan, batch.E, batch.diag_scalars, batch.d_last,
                        batch.start, batch.tp_scalar, Bt=Bt, kd=kd,
                        interpret=interpret)
@@ -387,6 +389,38 @@ def run_window_pallas(plan: fb.EnginePlan, W: int, batch: WindowPallasProblem,
         return (p_out, totals[:, :, 0, 0], exits[:, :, 0, :],
                 gacc, stats[:, 0, :])
     return p_out, totals[:, :, 0, 0]
+
+
+def run_window_pallas_paired(plan: fb.EnginePlan, HW: int, E64,
+                             diag_scalars, d_last, start, end, tp_scalar,
+                             Bt: int | None = None, interpret: bool = False,
+                             kd: int | None = None):
+    """Half-packed generic window pipeline: ``E64`` is (2B, Dpe, C, HW)
+    per-problem emission grids; pairs (2i, 2i+1) share one 2*HW-lane kernel
+    row (ops/pallas_fb nh=2).  diag_scalars (2B, Dp+1, 1, 8), d_last (2B,),
+    start/end (2B, S), tp_scalar (2B, n) with each pair sharing one
+    transition vector.  Returns (p (B, Dp, 2*HW), totals (B, Dp, 2))."""
+    if kd is None:
+        kd = 2 if interpret else pk.KD
+    W = 2 * HW
+    S = plan.n_states
+    B2, Dpe, C, _ = E64.shape
+    assert B2 % 2 == 0
+    B = B2 // 2
+    E = (E64.reshape(B, 2, Dpe, C, HW).transpose(0, 2, 3, 1, 4)
+         .reshape(B, Dpe, C, W))
+    ds2 = (diag_scalars.reshape(B, 2, diag_scalars.shape[1], 8)
+           .transpose(0, 2, 1, 3))
+    d_last2 = d_last.reshape(B, 2)
+    start2 = start.reshape(B, 2 * S)
+    end2 = end.reshape(B, 2 * S)
+    tp2 = tp_scalar.reshape(B, 2, -1)[:, 0, :]
+    F = pk.forward_sm3(plan, E, ds2, d_last2, start2, tp2, Bt=Bt, kd=kd,
+                       interpret=interpret)
+    p, totals, _exits, _gacc, _stats = pk.backward_sm3(
+        plan, E, F, ds2, d_last2, end2, tp2, Bt=Bt, kd=kd, stages=3,
+        interpret=interpret)
+    return p[:, :, 0, :], totals[:, :, 0, :]
 
 
 def sm3_pallas_expectations(plan: fb.EnginePlan, W: int,

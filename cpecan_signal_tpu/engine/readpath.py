@@ -277,6 +277,33 @@ def _flat_win_encode(wb: WindowBand) -> np.ndarray:
     return out
 
 
+def _unpack_win(meta_i, fw, W, Dp):
+    """Device decode of the per-diagonal window stream into (B, 3, Dp)
+    int32 (w0, xmyL, xmyR); rows past D get the stepping-w0 / empty-range
+    padding (pad_window's rule)."""
+    import jax.numpy as jnp
+
+    dd = jnp.arange(Dp, dtype=jnp.int32)[None, :]
+    D = meta_i[:, MI_WIN_D:MI_WIN_D + 1]
+    wreal = dd < D
+    woff = meta_i[:, MI_WIN_OFF:MI_WIN_OFF + 1]
+    didx = jnp.clip(dd, 0, D - 1)
+    if W <= 128:   # 1-word encoding: step<<14 | uL<<7 | uR
+        word = fw[woff + didx]
+        delta = jnp.where(wreal & (dd > 0), 2 * (word >> 14) - 1, 0)
+        uL = (word >> 7) & 127
+        uR = word & 127
+    else:          # 3-row encoding
+        delta = jnp.where(wreal, fw[woff + didx], 0)
+        uL = fw[woff + D + didx]
+        uR = fw[woff + 2 * D + didx]
+    w0 = meta_i[:, MI_W00:MI_W00 + 1] + jnp.cumsum(delta, axis=1)
+    w0 = w0 + jnp.where(wreal, 0, jnp.where((dd - D) % 2 == 0, 1, 0))
+    xmyL = w0 + jnp.where(wreal, 2 * uL, 2 * 10**6)
+    xmyR = w0 + jnp.where(wreal, 2 * uR, 0)
+    return jnp.stack([w0, xmyL, xmyR], axis=1).astype(jnp.int32)
+
+
 def _unpack_dev(meta_i, meta_f, flat_r, flat_w, flat_e, *, W, Dp, lXp, lYp,
                 n_tp, S):
     """Device-side unpack of the flat transport into the padded per-problem
@@ -304,27 +331,7 @@ def _unpack_dev(meta_i, meta_f, flat_r, flat_w, flat_e, *, W, Dp, lXp, lYp,
     evn = jnp.where(eok, flat_e[ebase + elen], 0.0)
     evr = jnp.stack([evm, evn], axis=1)
 
-    # window: decode the stream; rows past D get the stepping-w0 /
-    # empty-range padding (pad_window's rule)
-    dd = jnp.arange(Dp, dtype=jnp.int32)[None, :]
-    D = meta_i[:, MI_WIN_D:MI_WIN_D + 1]
-    wreal = dd < D
-    woff = meta_i[:, MI_WIN_OFF:MI_WIN_OFF + 1]
-    didx = jnp.clip(dd, 0, D - 1)
-    if W <= 128:   # 1-word encoding: step<<14 | uL<<7 | uR
-        word = fw[woff + didx]
-        delta = jnp.where(wreal & (dd > 0), 2 * (word >> 14) - 1, 0)
-        uL = (word >> 7) & 127
-        uR = word & 127
-    else:          # 3-row encoding
-        delta = jnp.where(wreal, fw[woff + didx], 0)
-        uL = fw[woff + D + didx]
-        uR = fw[woff + 2 * D + didx]
-    w0 = meta_i[:, MI_W00:MI_W00 + 1] + jnp.cumsum(delta, axis=1)
-    w0 = w0 + jnp.where(wreal, 0, jnp.where((dd - D) % 2 == 0, 1, 0))
-    xmyL = w0 + jnp.where(wreal, 2 * uL, 2 * 10**6)
-    xmyR = w0 + jnp.where(wreal, 2 * uR, 0)
-    win = jnp.stack([w0, xmyL, xmyR], axis=1).astype(jnp.int32)
+    win = _unpack_win(meta_i, fw, W, Dp)
 
     lY = meta_i[:, MI_EV_LEN]
     d_last = meta_i[:, MI_WIN_D] - 1
@@ -437,7 +444,7 @@ def _bucket_fn_flat(plan, W, Dp, lXp, lYp, B, Kg, n_tp, S, threshold,
 
     from . import pallas_pipeline as pp
 
-    kd = _bucket_kd(Dp)
+    kd = 2 if interpret else _bucket_kd(Dp)
     HW = W // 2 if paired else W
 
     def run(mt, yt, gapx, meta_i, meta_f, flat_r, flat_w, flat_e):
@@ -929,31 +936,49 @@ def stage_symbol_job(job, wband: WindowBand):
 
 
 @lru_cache(maxsize=256)
-def _sym_bucket_fn(plan, W, Dp, Lc, B, K, n_tp, S, threshold, interpret):
+def _sym_bucket_fn_flat(plan, W, Dp, Lc, Bu, Kg, n_tp, S, threshold,
+                        interpret, paired):
+    """Symbol-lane flat-transport pipeline: device unpack of int8 symbol
+    codes + the window stream -> on-device E gather from the tiny tables ->
+    forward/backward (half-packed when ``paired``) -> globally-compacted
+    pair extraction.  ``W`` is the kernel lane width; per-problem windows
+    are W//2 lanes when paired."""
     import jax
 
     from . import pallas_pipeline as pp
+    from ..ops import pallas_fb as pk
 
-    def run(mt, gx, gy, ints, flts):
+    kd = _bucket_kd(Dp)
+    HW = W // 2 if paired else W
+
+    def run(mt, gx, gy, meta_i, meta_f, flat_c, flat_w):
         import jax.numpy as jnp
 
-        from ..ops import pallas_fb as pk
+        fc = flat_c.astype(jnp.int32)
+        fw = flat_w.astype(jnp.int32)
+        # codes: sentinel-4-filled (B2, Lc) for each side
+        la = jnp.arange(Lc, dtype=jnp.int32)[None, :]
+        cxl = meta_i[:, MI_RANK_LEN:MI_RANK_LEN + 1]
+        cxp = jnp.where((la < cxl),
+                        fc[meta_i[:, MI_RANK_OFF:MI_RANK_OFF + 1]
+                           + jnp.clip(la, 0, cxl - 1)], 4)
+        cyl = meta_i[:, MI_EV_LEN:MI_EV_LEN + 1]
+        cyp = jnp.where((la < cyl),
+                        fc[meta_i[:, MI_EV_OFF:MI_EV_OFF + 1]
+                           + jnp.clip(la, 0, cyl - 1)], 4)
+        win = _unpack_win(meta_i, fw, HW, Dp)
+        lY = meta_i[:, MI_EV_LEN] - 1
+        d_last = meta_i[:, MI_WIN_D] - 1
+        real = meta_i[:, MI_REAL] > 0
+        tps = meta_f[:, :n_tp]
+        start = meta_f[:, n_tp:n_tp + S]
+        end = meta_f[:, n_tp + S:n_tp + 2 * S]
 
-        # ints (B, 2*Lc + 3*Dp + 2): [cx | cy | win | lY, d_last]
-        cxp = ints[:, :Lc]
-        cyp = ints[:, Lc:2 * Lc]
-        win = ints[:, 2 * Lc:2 * Lc + 3 * Dp].reshape(-1, 3, Dp)
-        lY = ints[:, -2]
-        d_last = ints[:, -1]
-        tps = flts[:, :n_tp]
-        start = flts[:, n_tp:n_tp + S]
-        end = flts[:, n_tp + S:n_tp + 2 * S]
-
-        Lq = Dp + 2 * W + 128
-        ds, _x0, _yr0 = _pack_ds(win, lY, W, Lq, Lq)
+        Lq = Dp + 2 * HW + 128
+        ds, _x0, _yr0 = _pack_ds(win, lY, HW, Lq, Lq)
         w0 = win[:, 0, :]
         d = jnp.arange(Dp, dtype=jnp.int32)[None, :, None]
-        j = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+        j = jnp.arange(HW, dtype=jnp.int32)[None, None, :]
         xmy = w0[:, :, None] + 2 * j
         x = (d + xmy) // 2
         y = (d - xmy) // 2
@@ -964,75 +989,122 @@ def _sym_bucket_fn(plan, W, Dp, Lc, B, K, n_tp, S, threshold, interpret):
         z = jnp.float32(0.0)
         chans = [jnp.where(live, gx[ix], z),
                  jnp.where(live, mt[ix, iy], z),
-                 jnp.where(live, gy[iy], z)]      # class order gapx/match/gapy
-        kd = 2 if interpret else pk.KD
+                 jnp.where(live, gy[iy], z)]    # class order gapx/match/gapy
         E = jnp.stack(chans, axis=2)
         E = jnp.concatenate(
-            [E, jnp.zeros((E.shape[0], kd, 3, W), jnp.float32)], axis=1)
-        prob = pp.WindowPallasProblem(
-            E=E, diag_scalars=ds, d_last=d_last, start=start, end=end,
-            tp_scalar=tps, x0=_x0)
-        p, _tot = pp.run_window_pallas(plan, W, prob, stages=3,
-                                       interpret=interpret)
-        cnt, outq, outi = _extract_compact(p, threshold, K)
-        return jnp.concatenate([cnt[:, None], outq, outi], axis=1)
+            [E, jnp.zeros((E.shape[0], kd, 3, HW), jnp.float32)], axis=1)
+        if paired:
+            p, _tot = pp.run_window_pallas_paired(
+                plan, HW, E, ds, d_last, start, end, tps,
+                interpret=interpret, kd=kd)
+            lane = jnp.arange(W, dtype=jnp.int32)[None, :]
+            rl = jnp.where(lane < HW, real[0::2, None], real[1::2, None])
+            cnt, over, outq, outi = _extract_global(p, threshold, Kg, rl)
+        else:
+            prob = pp.WindowPallasProblem(
+                E=E, diag_scalars=ds, d_last=d_last, start=start, end=end,
+                tp_scalar=tps, x0=_x0)
+            p, _tot = pp.run_window_pallas(plan, W, prob, stages=3,
+                                           interpret=interpret, kd=kd)
+            cnt, over, outq, outi = _extract_global(p, threshold, Kg, real)
+        return jnp.concatenate([cnt, over, outq, outi])
 
     return run if interpret else jax.jit(run)
 
 
 def run_symbol_jobs(staged: list[tuple[int, "_SymJob", object]],
                     threshold: float, *, interpret: bool) -> dict[int, tuple]:
-    """Symbol-lane analogue of run_fast_jobs: group, chunk, dispatch all
-    async, single concatenated fetch, host decode."""
+    """Symbol-lane analogue of run_fast_jobs (round-5 flat transport):
+    int8 code streams + the 1-word window stream up, one globally-compacted
+    pair buffer down; W=64 jobs run half-packed (two per kernel vreg row,
+    grouped by identical tables + transition vector)."""
     import jax.numpy as jnp
 
     groups: dict[tuple, list[int]] = {}
     for si, (ji, sj, plan) in enumerate(staged):
-        key = (plan, sj.wband.W, _dp_ladder(sj.wband.n_diagonals + 2),
-               sj.tab_key)
+        W = sj.wband.W
+        paired = W == 64
+        key = (plan, W, _dp_ladder(sj.wband.n_diagonals + 2), sj.tab_key,
+               sj.tp_scalar.tobytes() if paired else None)
         groups.setdefault(key, []).append(si)
 
     pending = []
     for key, sidx in groups.items():
-        plan, W, Dpq, _tk = key
-        Dp = _round_up(Dpq, 8)
+        plan, W, Dpq, _tk, _tpb = key
+        paired = W == 64
+        spu = 2 if paired else 1
+        Wk = 128 if paired else W
+        Dp = _round_up(Dpq, 32)       # all _bucket_kd rungs divide 32
         Lc = Dp + 2
-        K = min(Dp * W, _round_up(max(2 * Dp, 512), 128))
         sj0 = staged[sidx[0]][1]
         mt = jnp.asarray(sj0.match_t)
         gx = jnp.asarray(sj0.gapx_t)
         gy = jnp.asarray(sj0.gapy_t)
         n_tp = len(sj0.tp_scalar)
         S = len(sj0.start)
-        n_int = 2 * Lc + 3 * Dp + 2
-        n_flt = n_tp + 2 * S
         pos = 0
-        for B in _chunk_sizes(len(sidx), Dp):
+        for Bu in _chunk_sizes(-(-len(sidx) // spu), Dp):
+            B = Bu * spu
             chunk = sidx[pos:pos + B]
             pos += len(chunk)
             idxs = chunk + [chunk[-1]] * (B - len(chunk))
-            ints = np.full((B, n_int), 4, dtype=np.int32)   # 4 = N sentinel
-            flts = np.zeros((B, n_flt), dtype=np.float32)
+            meta_i = np.zeros((B, _META_I), dtype=np.int32)
+            meta_f = np.zeros((B, n_tp + 2 * S), dtype=np.float32)
+            codes_l, win_l = [], []
+            co = wo = 0
+            sum_ev = 0
             for bi, si in enumerate(idxs):
                 sj = staged[si][1]
-                ints[bi, :len(sj.cx)] = sj.cx
-                ints[bi, len(sj.cx):Lc] = 4
-                ints[bi, Lc:Lc + len(sj.cy)] = sj.cy
-                ints[bi, Lc + len(sj.cy):2 * Lc] = 4
-                ints[bi, 2 * Lc:2 * Lc + 3 * Dp] = \
-                    pad_window(sj.wband, Dp).ravel()
-                ints[bi, -2] = len(sj.cy) - 1
-                ints[bi, -1] = sj.wband.n_diagonals - 1
-                flts[bi, :n_tp] = sj.tp_scalar
-                flts[bi, n_tp:n_tp + S] = sj.start
-                flts[bi, n_tp + S:] = sj.end
-            fn = _sym_bucket_fn(plan, W, Dp, Lc, B, K, n_tp, S,
-                                float(threshold), interpret)
-            handle = fn(mt, gx, gy, ints, flts)
-            pending.append((chunk, handle, W, Dp, K))
+                D = sj.wband.n_diagonals
+                real = bi < len(chunk)
+                meta_i[bi, MI_RANK_OFF] = co
+                meta_i[bi, MI_RANK_LEN] = len(sj.cx)
+                meta_i[bi, MI_EV_OFF] = co + len(sj.cx)
+                meta_i[bi, MI_EV_LEN] = len(sj.cy)
+                meta_i[bi, MI_WIN_OFF] = wo
+                meta_i[bi, MI_WIN_D] = D
+                meta_i[bi, MI_W00] = int(sj.wband.w0[0])
+                meta_i[bi, MI_REAL] = 1 if real else 0
+                if real:
+                    wenc = _flat_win_encode(sj.wband)
+                    codes_l.append(sj.cx.astype(np.int8))
+                    codes_l.append(sj.cy.astype(np.int8))
+                    win_l.append(wenc)
+                    co += len(sj.cx) + len(sj.cy)
+                    wo += len(wenc)
+                    sum_ev += len(sj.cy)
+                else:
+                    meta_i[bi, MI_RANK_OFF] = co - len(sj.cx) - len(sj.cy)
+                    meta_i[bi, MI_EV_OFF] = co - len(sj.cy)
+                    meta_i[bi, MI_WIN_OFF] = \
+                        wo - (D if sj.wband.W <= 128 else 3 * D)
+                meta_f[bi, :n_tp] = sj.tp_scalar
+                meta_f[bi, n_tp:n_tp + S] = sj.start
+                meta_f[bi, n_tp + S:] = sj.end
+
+            def flat(parts, dtype, quantum=2048):
+                n = sum(len(pp_) for pp_ in parts)
+                buf = np.zeros(_round_up(max(n, 1), quantum), dtype=dtype)
+                if n:
+                    np.concatenate(parts, out=buf[:n])
+                return buf
+
+            flat_c = flat(codes_l, np.int8)
+            flat_w = flat(win_l, np.int16)
+            # nucleotide posteriors spread more mass off-diagonal than the
+            # signal lane -> roomier pair capacity (overflow falls back)
+            Kg = _round_up(2 * sum_ev + 512, 2048)
+            fn = _sym_bucket_fn_flat(plan, Wk, Dp, Lc, Bu, Kg, n_tp, S,
+                                     float(threshold), interpret, paired)
+            handle = fn(mt, gx, gy, meta_i, meta_f, flat_c, flat_w)
+            pending.append((chunk, handle, Wk, Dp, Kg, paired))
 
     packed_of = _collect_packed([p[1] for p in pending], interpret)
     out: dict[int, tuple] = {}
-    for (chunk, _handle, W, Dp, K), packed in zip(pending, packed_of):
-        _decode_packed(packed, chunk, staged, W, Dp, K, out)
+    for (chunk, _handle, W, Dp, Kg, paired), packed in zip(pending,
+                                                           packed_of):
+        if paired:
+            _decode_global_paired(packed, chunk, staged, W, Dp, Kg, out)
+        else:
+            _decode_global(packed, chunk, staged, W, Dp, Kg, out)
     return out
