@@ -607,6 +607,22 @@ def _chunk_sizes(n: int, Dp: int = 256) -> list[int]:
 
 
 
+def _call_retry(fn, *args):
+    """Invoke a jitted bucket fn, retrying once on transient tunnel
+    failures (the axon remote-compile HTTP stream occasionally drops
+    mid-transfer; the retry recompiles/reuses the cache and succeeds)."""
+    try:
+        return fn(*args)
+    except Exception as exc:          # jax.errors.JaxRuntimeError etc.
+        msg = str(exc)
+        if "remote_compile" not in msg and "INTERNAL" not in msg:
+            raise
+        import time as _t
+
+        _t.sleep(1.0)
+        return fn(*args)
+
+
 def _collect_packed(handles, interpret):
     """ONE device->host fetch for all pending buckets: every per-bucket
     fetch pays a full tunnel round trip (~27 ms) even with
@@ -832,8 +848,8 @@ def dispatch_fast_jobs(staged: list[tuple[int, "_FastJob", object]],
                 Kg = _round_up(sum_ev + sum_ev // 5 + 512, 2048)
                 fn = _bucket_fn_flat(plan, Wk, Dp, lXp, lYp, Bu, Kg, n_tp, S,
                                      float(threshold), interpret, paired)
-                handle = fn(mt, yt, gapx, meta_i, meta_f, flat_r, flat_w,
-                            flat_e)
+                handle = _call_retry(fn, mt, yt, gapx, meta_i, meta_f,
+                                     flat_r, flat_w, flat_e)
                 pending.append((staged, chunk, handle, Wk, Dp, Kg, paired))
     return pending
 
@@ -1096,7 +1112,8 @@ def run_symbol_jobs(staged: list[tuple[int, "_SymJob", object]],
             Kg = _round_up(2 * sum_ev + 512, 2048)
             fn = _sym_bucket_fn_flat(plan, Wk, Dp, Lc, Bu, Kg, n_tp, S,
                                      float(threshold), interpret, paired)
-            handle = fn(mt, gx, gy, meta_i, meta_f, flat_c, flat_w)
+            handle = _call_retry(fn, mt, gx, gy, meta_i, meta_f, flat_c,
+                                 flat_w)
             pending.append((chunk, handle, Wk, Dp, Kg, paired))
 
     packed_of = _collect_packed([p[1] for p in pending], interpret)
